@@ -1,0 +1,71 @@
+package graft.glove
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained GloVe model: `embeddings` is (word STRING, id INT, vec
+  * ARRAY<FLOAT>). API shaped like ml.feature.Word2VecModel for
+  * familiarity: findSynonyms / analogy / transform / save-load.
+  */
+class GloveModel(
+    val embeddings: DataFrame,
+    val dim: Int,
+    val lossHistory: Seq[Double]) extends Serializable {
+
+  /** Top-k cosine neighbors of `word` (excluding itself). */
+  def findSynonyms(word: String, k: Int): DataFrame = {
+    val probe = embeddings.filter(col("word") === word)
+      .select(col("vec").as("probe_vec"))
+    embeddings
+      .crossJoin(broadcast(probe))
+      .filter(col("word") =!= word)
+      .select(col("word"), cosine(col("vec"), col("probe_vec")).as("similarity"))
+      .orderBy(desc("similarity"), asc("word"))
+      .limit(k)
+  }
+
+  /** Analogy: argmax_w cos(w, vec(a) − vec(b) + vec(c)), excluding a,b,c. */
+  def analogy(a: String, b: String, c: String, k: Int = 1): DataFrame = {
+    val byWord = embeddings.filter(col("word").isin(a, b, c))
+      .select("word", "vec").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+    require(byWord.keySet == Set(a, b, c), s"missing words: ${Set(a, b, c) -- byWord.keySet}")
+    val target = (0 until dim).map(i => byWord(a)(i) - byWord(b)(i) + byWord(c)(i)).toArray
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val probe = Seq(Tuple1(target)).toDF("probe_vec")
+    embeddings
+      .crossJoin(broadcast(probe))
+      .filter(!col("word").isin(a, b, c))
+      .select(col("word"), cosine(col("vec"), col("probe_vec")).as("similarity"))
+      .orderBy(desc("similarity"), asc("word"))
+      .limit(k)
+  }
+
+  /** Document vectors: average of word vectors over `textCol` tokens
+    * (OOV tokens ignored; docs with no in-vocab token get null).
+    * Implemented as explode + broadcast join + groupBy avg — fully
+    * relational, scales with the corpus.
+    */
+  def transform(documents: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", outputCol: String = "doc_vec"): DataFrame = {
+    val toks = documents.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    val joined = toks.join(broadcast(embeddings.select("word", "vec")), Seq("word"))
+    // per-dimension mean via element-wise aggregate of arrays
+    val summed = joined
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        array((0 until dim).map(i => avg(element_at(col("vec"), i + 1))): _*).as(outputCol))
+      .drop("n_toks")
+    documents.join(summed, Seq(idCol), "left")
+  }
+
+  def save(path: String): Unit =
+    embeddings.write.mode("overwrite").parquet(path)
+}
+
+object GloveModel {
+  def load(spark: SparkSession, path: String, dim: Int): GloveModel =
+    new GloveModel(spark.read.parquet(path), dim, Seq.empty)
+}

@@ -1,0 +1,430 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The t2 contract queries (SURVEY.md §2 / Appendix A), built with the
+  * DataFrame fluent API (Catalyst entry point 2) so every query goes
+  * through the stock analyze → optimize → plan pipeline: predicate
+  * pushdown, column pruning, join selection and AQE all apply with no
+  * custom scheduling.
+  *
+  * Determinism discipline (SURVEY §5.2): every double aggregate is rounded
+  * in-query; ceil/floor cast to BIGINT; row-level lineitem results are
+  * totally ordered (no unique key, FIXTURES.md quirk 2); window-function
+  * integer outputs cast to LONG so the Parquet schema matches DuckDB's
+  * BIGINT; no array-typed output columns (lists are joined to strings).
+  */
+object ContractQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- B1 pricing summary (A-1, P-2, O-1) --------------------------------
+  def b1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- B2 5-way join revenue by nation (J-1..J-3, A-11) ------------------
+  // nation/region are tiny -> explicit broadcast; customer x orders x
+  // lineitem shuffle on their keys (sort-merge or AQE shuffled-hash).
+  def b2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  // ---- B3 top-k revenue orders (O-3: TakeOrderedAndProject) --------------
+  def b3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+
+  // ---- B4 top-3 orders per customer (W-1, A-10) --------------------------
+  def b4(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+      .limit(100)
+  }
+
+  // ---- B5 rollup (A-4, O-2) ----------------------------------------------
+  // The rollup itself goes through the SQL entry point: Dataset.rollup on a
+  // join result trips a false positive in Spark 4.1.2's
+  // DetectAmbiguousSelfJoin (the Expand duplicates grouping attributes that
+  // carry the join's dataset-id metadata). Identical logical plan either way.
+  def b5(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_mktsegment", "c_acctbal")
+      .createOrReplaceTempView("graft_b5_base")
+    s.sql(
+      """select n_name, c_mktsegment, count(*) cnt, round(sum(c_acctbal),2) bal
+        |from graft_b5_base group by rollup(n_name, c_mktsegment)
+        |order by n_name nulls first, c_mktsegment nulls first""".stripMargin)
+  }
+
+  // ---- B6 exact count distinct (A-2) --------------------------------------
+  def b6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("du"), count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  // ---- B7 JSON + event-time hour window (F-6, F-2; ST-1 oracle) ----------
+  def b7(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("sk"),
+        round(sum("value"), 2).as("sv"),
+        count(lit(1)).as("cnt"))
+      .orderBy("h", "event_type")
+      .limit(100)
+
+  // ---- B8 wordcount top-20 (T-1, T-2) -------------------------------------
+  def b8(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(20)
+
+  // ---- B9 windowed co-occurrence, w=2, 1/d weights ------------------------
+  // Production formulation: the O(n*w) flatMap kernel (graft.text
+  // .Cooccurrence) — one pass per document, map-side combine, NO self-join.
+  // Hash-matches the band-join oracle (see b9_join below + equivalence spec).
+  def b9(s: SparkSession, dir: String): DataFrame =
+    graft.text.Cooccurrence.wordPairs(t(s, dir, "documents"), window = 2)
+      .groupBy("w1", "w2")
+      .agg(round(sum("wt"), 3).as("x"), count(lit(1)).as("c"))
+      .orderBy(desc("x"), asc("w1"), asc("w2"))
+      .limit(20)
+
+  // Oracle formulation (J-6 band self-join + J-9); kept as a declared query
+  // so both paths stay pinned to the same DuckDB oracle.
+  def b9Join(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    a.join(b,
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos").between(col("a.pos") - 2, col("a.pos") + 2) &&
+        col("a.pos") =!= col("b.pos"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"),
+        (lit(1.0) / abs(col("a.pos") - col("b.pos"))).as("wt"))
+      .groupBy("w1", "w2")
+      .agg(round(sum("wt"), 3).as("x"), count(lit(1)).as("c"))
+      .orderBy(desc("x"), asc("w1"), asc("w2"))
+      .limit(20)
+  }
+
+  // ---- B10 cosine top-10 neighbors of vec_id=0 (T-10, F-5, J-8) ----------
+  def b10(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val emb = t(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("e"))
+    emb.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("e")), 4).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  // ---- Q11 semi join (J-4) -------------------------------------------------
+  def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .limit(50)
+
+  // ---- Q12 anti join (J-5) -------------------------------------------------
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+      .limit(50)
+
+  // ---- Q13 union all (U-1) --------------------------------------------------
+  def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+      .unionAll(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("k"))
+      .limit(20)
+
+  // ---- Q13b intersect (U-3) --------------------------------------------------
+  def q13b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+      .intersect(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k")))
+      .orderBy("k")
+      .limit(20)
+
+  // ---- Q13c except (U-4) -------------------------------------------------------
+  def q13c(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("k"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
+      .orderBy("k")
+      .limit(20)
+
+  // ---- Q14 correlated scalar subquery (decorrelated: agg + self-join) ----
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val perCust = orders.groupBy(col("o_custkey").as("k"))
+      .agg(avg("o_totalprice").as("ap"))
+    orders.join(perCust, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > lit(1.5) * col("ap"))
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("tp"))
+      .orderBy("o_orderkey")
+      .limit(50)
+  }
+
+  // ---- Q15 strings (F-1) ---------------------------------------------------
+  def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        substring(col("p_name"), 1, 8).as("s8"),
+        length(col("p_name")).as("ln"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("ct"),
+        trim(col("p_name")).as("tr"),
+        regexp_replace(col("p_type"), "a", "@").as("rp"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("rr"))
+      .orderBy("p_partkey")
+      .limit(30)
+
+  // ---- Q16 dates (F-2) -------------------------------------------------------
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_add(col("o_orderdate").cast("date"), 30).as("d30"),
+        datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate")).as("dd"))
+      .orderBy("o_orderkey")
+      .limit(30)
+
+  // ---- Q17 math (F-3) — total ORDER BY: lineitem has no unique key ---------
+  def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("a"),
+        ceil(col("l_quantity")).cast("long").as("ce"),
+        floor(col("l_extendedprice")).cast("long").as("fl"),
+        round(sqrt(col("l_extendedprice")), 4).as("sq"),
+        round(log(col("l_extendedprice") + 1), 4).as("lg"),
+        round(pow(col("l_discount"), 2), 6).as("pw"),
+        (col("l_quantity").cast("int") % 7).as("md"))
+      .orderBy("l_orderkey", "l_linenumber", "fl", "ce", "sq", "lg", "a", "pw", "md")
+      .limit(30)
+
+  // ---- Q18 arrays (F-4) — int sizes cast to LONG to match DuckDB len() ----
+  def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("nd"),
+        element_at(split(col("text"), " "), 1).as("first_tok"),
+        array_contains(split(col("text"), " "), "dup").as("hasdup"))
+      .orderBy("doc_id")
+      .limit(30)
+
+  // ---- Q19 json filter (F-6) -------------------------------------------------
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 90)
+      .orderBy("event_id")
+      .limit(30)
+
+  // ---- Q20 as-of join (J-7): equi+inequality join then row_number()=1 ------
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    val w = Window.partitionBy("event_id").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("event_id")
+      .limit(50)
+  }
+
+  // ---- Q21 cube (A-5) ---------------------------------------------------------
+  def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"), round(sum("o_totalprice"), 2).as("s"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  // ---- Q24 near-dup pairs, token Jaccard >= 0.5 (T-9 oracle) ----------------
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("s"),
+      size(split(col("text"), " ")).as("n"))
+    val a = d.as("a")
+    val b = d.as("b")
+    val jac = size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+      size(array_union(col("a.s"), col("b.s")))
+    a.join(b, col("a.doc_id") < col("b.doc_id") && abs(col("a.n") - col("b.n")) <= 1)
+      .filter(jac >= 0.5 && (col("a.n") >= 30 || col("b.n") >= 30))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), round(jac, 4).as("jac"))
+      .orderBy(desc("jac"), asc("da"), asc("db"))
+      .limit(50)
+  }
+
+  // ---- Q25 sessionization, 30-min gap (T-12; ST-3 oracle) --------------------
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wSum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), unix_millis(col("ts")).as("tms"))
+      .withColumn("ptms", lag("tms", 1).over(wLag))
+      .withColumn("brk",
+        when(col("ptms").isNull || col("tms") - col("ptms") > 1800000L, 1).otherwise(0))
+      .withColumn("sess", sum("brk").over(wSum))
+      .groupBy("user_id")
+      .agg(countDistinct("sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+      .limit(50)
+  }
+
+  // ---- Q27 vocabulary, min_count=5, freq-rank ids (T-3) ----------------------
+  def q27(s: SparkSession, dir: String): DataFrame =
+    graft.text.Vocabulary.build(t(s, dir, "documents"), minCount = 5)
+      .orderBy("id")
+
+  // ---- Q29 TF-IDF top terms (T-7) ---------------------------------------------
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy(desc("tfidf"), asc("doc_id"), asc("w"))
+      .limit(30)
+  }
+
+  // ---- Q31 exact percentiles (A-8) ---------------------------------------------
+  def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("c"))
+      .orderBy("o_orderstatus")
+
+  // ---- Q32 exact dedup stats (T-8) ------------------------------------------------
+  def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").agg(
+      count(lit(1)).as("total"),
+      countDistinct(col("text")).as("distinct_text"),
+      countDistinct(sha2(col("text"), 256)).as("distinct_hash"))
+
+  // ---- Q33 statistical aggregates (A-7) ---------------------------------------------
+  def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(stddev("o_totalprice"), 4).as("sd"),
+        round(variance("o_totalprice"), 4).as("vr"),
+        round(stddev_pop("o_totalprice"), 4).as("sdp"),
+        round(covar_samp(col("o_totalprice"), col("o_custkey")), 4).as("cv"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 6).as("cr"))
+      .orderBy("o_orderstatus")
+
+  // ---- Q34 deterministic collect (A-9) — string-joined, no array output ------
+  def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 20)
+      .groupBy("c_nationkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"),
+        count(lit(1)).as("c"))
+      .orderBy("c_nationkey")
+
+  // ---- Q35 window-function suite (W-2..W-5) -------------------------------------
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wRows = w.rowsBetween(-2, Window.currentRow)
+    val wRange = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        lag("o_orderkey", 1).over(w).as("lg"),
+        lead("o_orderkey", 1).over(w).as("ld"),
+        round(sum("o_totalprice").over(wRows), 2).as("mv"),
+        round(avg("o_totalprice").over(wRange), 2).as("ra"),
+        ntile(4).over(w).cast("long").as("nt"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(100)
+  }
+
+  // ---- Q36 union distinct (U-2) --------------------------------------------------
+  def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .union(t(s, dir, "nation").select(col("n_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  /** All contract queries keyed by their SURVEY Appendix-A ids. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1" -> (b1 _), "b2" -> (b2 _), "b3" -> (b3 _), "b4" -> (b4 _),
+    "b5" -> (b5 _), "b6" -> (b6 _), "b7" -> (b7 _), "b8" -> (b8 _),
+    "b9" -> (b9 _), "b9_join" -> (b9Join _), "b10" -> (b10 _),
+    "q11" -> (q11 _), "q12" -> (q12 _), "q13" -> (q13 _),
+    "q13b" -> (q13b _), "q13c" -> (q13c _), "q14" -> (q14 _),
+    "q15" -> (q15 _), "q16" -> (q16 _), "q17" -> (q17 _),
+    "q18" -> (q18 _), "q19" -> (q19 _), "q20" -> (q20 _),
+    "q21" -> (q21 _), "q24" -> (q24 _), "q25" -> (q25 _),
+    "q27" -> (q27 _), "q29" -> (q29 _), "q31" -> (q31 _),
+    "q32" -> (q32 _), "q33" -> (q33 _), "q34" -> (q34 _),
+    "q35" -> (q35 _), "q36" -> (q36 _))
+}

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One (i,j) cell of the sparse co-occurrence matrix (GloVe stage 2). */
+case class Cooc(i: Int, j: Int, x: Double)
+
+/** GloVe stage 2: windowed co-occurrence (SURVEY T-4; canonical `cooccur`).
+  *
+  * Semantics: for tokens at positions p, q in the same document with
+  * 0 < |p-q| <= window, X(w_p, w_q) += 1/|p-q| — symmetric window,
+  * harmonic distance weighting (GloVe paper §4.2).
+  *
+  * Production kernel: a single typed `flatMap` pass per document emitting
+  * both directions of each pair — O(n·window) work, NO self-join, and the
+  * downstream `groupBy` gets map-side partial aggregation for free. This
+  * is the 100 TB path: shuffle volume is the number of DISTINCT pairs per
+  * partition, not the number of pair instances. The band-self-join
+  * formulation (ContractQueries.b9Join) is kept as the oracle and the two
+  * are property-tested equal.
+  */
+object Cooccurrence {
+
+  /** Raw pair instances (w1, w2, wt=1/d) — one row per co-occurrence, both
+    * directions. Matches the B9 oracle exactly (no empty-token filter:
+    * `split` semantics are preserved end-to-end).
+    */
+  def wordPairs(documents: DataFrame, window: Int, textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(split(col(textCol), " ").as("toks"))
+      .as[Seq[String]]
+      .flatMap { toks =>
+        val n = toks.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+        var i = 0
+        while (i < n) {
+          var d = 1
+          while (d <= window && i + d < n) {
+            val wt = 1.0 / d
+            out += ((toks(i), toks(i + d), wt))
+            out += ((toks(i + d), toks(i), wt))
+            d += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("w1", "w2", "wt")
+  }
+
+  /** Aggregated word-level co-occurrence: (w1, w2, x = Σ 1/d, c = #instances). */
+  def aggregated(documents: DataFrame, window: Int, textCol: String = "text"): DataFrame =
+    wordPairs(documents, window, textCol)
+      .groupBy("w1", "w2")
+      .agg(sum("wt").as("x"), count(lit(1)).as("c"))
+
+  /** Id-space sparse matrix for training: tokens outside `vocab` are
+    * dropped (canonical `cooccur` behavior), ids from the broadcast vocab
+    * map (word -> 0-based id). Window distances are measured over the
+    * ORIGINAL token positions, before OOV filtering — matching the
+    * canonical toolkit, which builds distances over the kept-token stream;
+    * we follow the simpler and more common "distance over kept tokens"
+    * variant used by faithful ports: OOV tokens are removed first, then
+    * positions are re-measured. (Property-tested; documented deviation
+    * candidates are noted in GloveSpec.)
+    */
+  def matrix(
+      documents: DataFrame,
+      vocab: Map[String, Int],
+      window: Int,
+      textCol: String = "text"): Dataset[Cooc] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bVocab = spark.sparkContext.broadcast(vocab)
+    documents
+      .select(split(col(textCol), " ").as("toks"))
+      .as[Seq[String]]
+      .flatMap { toks =>
+        val v = bVocab.value
+        val ids = toks.iterator.flatMap(v.get).toArray
+        val n = ids.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[Cooc]
+        var i = 0
+        while (i < n) {
+          var d = 1
+          while (d <= window && i + d < n) {
+            val wt = 1.0 / d
+            out += Cooc(ids(i), ids(i + d), wt)
+            out += Cooc(ids(i + d), ids(i), wt)
+            d += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .groupByKey(c => (c.i, c.j))
+      .mapValues(_.x)
+      .reduceGroups(_ + _)
+      .map { case ((i, j), x) => Cooc(i, j, x) }
+  }
+}
