@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines: exact
+  * (content-hash), MinHash+LSH, SimHash, and n-gram Jaccard — all built
+  * from codegen'd Spark built-ins (no UDFs in any hot path).
+  *
+  * Scale design (100 TB): exact dedup is a single hash-groupBy (one
+  * shuffle, map-side combine). MinHash/SimHash signatures are computed
+  * per-document in a single projection (no shuffle at all); LSH banding
+  * turns the quadratic candidate-pair problem into a groupBy on
+  * (band, band_hash) buckets, so shuffle volume is O(docs·bands) and the
+  * only pairwise work happens inside buckets. The exact-Jaccard recheck
+  * touches only candidate pairs. Nothing here ever materializes the full
+  * doc×doc cross product — the band-join oracle formulations (Q24) are
+  * the *spec*, not the production path.
+  */
+object Dedup {
+
+  /** Distinct whitespace tokens of `textCol` (empties dropped). */
+  def tokenSet(text: Column): Column =
+    array_distinct(filter(split(text, " "), t => t =!= ""))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by sha256 content hash: every doc gets the keeper
+    * (minimum doc_id with identical text) and an is_dup flag.
+    * One groupBy + one broadcast-able join back; at scale the join is a
+    * shuffle on the hash — both sides pre-partitioned identically, so AQE
+    * plans a co-located join.
+    */
+  def exactAssignKeepers(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol), sha2(col(textCol), 256).as("h"))
+    val keepers = hashed.groupBy("h")
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("group_size"))
+    hashed.join(keepers, "h")
+      .select(col(idCol), col("keeper"),
+        (col(idCol) =!= col("keeper")).as("is_dup"),
+        col("group_size"))
+  }
+
+  // -------------------------------------------------------------- n-gram
+
+  /** Token n-gram shingles (as space-joined strings); empty array when
+    * the doc has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // ------------------------------------------------------------- MinHash
+
+  /** k-function MinHash signature over a token array: element i is
+    * min over tokens of xxhash64(i, token). Deterministic (seeded by the
+    * function index), one projection, no shuffle.
+    */
+  def minhashSignature(tokens: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(tokens, t => xxhash64(i, t))))
+
+  /** LSH candidate pairs from banded MinHash signatures.
+    *
+    * Signature of length bands·rowsPerBand is cut into bands; docs
+    * sharing any (band_id, hash-of-band) bucket become a candidate pair.
+    * Returns distinct (id_a < id_b) pairs. The self-join is on the
+    * bucket key, so work is quadratic only within buckets (which are
+    * small for any sane band geometry).
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(tokenSet(col(textCol)), bands * rowsPerBand)
+    val banded = docs
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
+        .as("bucket"))
+      .select(col("id"), col("bucket.band"), col("bucket.bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard recheck: candidates
+    * from [[minhashCandidates]], verified against the true token-set
+    * Jaccard ≥ `threshold`. With sane band geometry this equals the
+    * exact all-pairs result (recall property-tested), at a fraction of
+    * the cost: O(docs·bands) shuffle instead of O(docs²) join.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, bands, rowsPerBand)
+    val sets = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("s"))
+    cands
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "sa"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "sb"), "id_b")
+      .withColumn("jac", jaccard(col("sa"), col("sb")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over term frequencies: bit k of the fingerprint is
+    * set iff Σ_tokens tf·(2·bit_k(xxhash64(token))−1) > 0.
+    *
+    * Implemented relationally: tokenize → per-doc term counts → explode
+    * 64 bit positions → weighted vote sum per (doc, bit) → OR the bits.
+    * Two shuffles on doc_id, both with map-side partial aggregation.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(filter(split(col(textCol), " "), t => t =!= "")).as("t"))
+      .groupBy(idCol, "t")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("t")))
+    tf.select(col(idCol), explode(sequence(lit(0), lit(63))).as("k"),
+        col("tf"), col("th"))
+      .withColumn("vote",
+        col("tf") * (call_function("shiftright", col("th"), col("k").cast("int")).bitwiseAND(lit(1L)) * 2 - 1))
+      .groupBy(idCol, "k")
+      .agg(sum("vote").as("v"))
+      .groupBy(idCol)
+      .agg(sum(when(col("v") > 0, call_function("shiftleft", lit(1L), col("k").cast("int"))).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Pairs whose SimHash Hamming distance ≤ `maxHamming`, with exact
+    * Jaccard attached for rechecking. The pair join here is all-pairs for
+    * spec clarity; the scale path splits the 64-bit key into
+    * (maxHamming+1) segments — by pigeonhole, any pair within the
+    * distance shares at least one exact segment — and joins on segments
+    * (same banding trick as MinHash-LSH).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val sets = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("s"))
+    val withSets = sh.join(sets, sh(idCol) === sets("id")).drop("id")
+    val a = withSets.as("a"); val b = withSets.as("b")
+    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("ham", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("ham") <= maxHamming)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("ham"), jaccard(col("a.s"), col("b.s")).as("jac"))
+  }
+
+  /** Scale formulation of SimHash candidate generation: segment join.
+    * Any two keys within Hamming distance d share at least one of d+1
+    * equal segments, so candidates come from a groupBy-sized equi-join
+    * instead of an all-pairs cross product.
+    */
+  def simhashCandidatesSegmented(sh: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val nSeg = maxHamming + 1
+    val segBits = 64 / nSeg
+    val segs = sh.select(col(idCol).as("id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(nSeg - 1)),
+        s => struct(s.as("seg"),
+          call_function("shiftright", col("simhash"), (s * segBits).cast("int"))
+            .bitwiseAND(lit((1L << segBits) - 1)).as("sv")))).as("x"))
+      .select(col("id"), col("simhash"), col("x.seg"), col("x.sv"))
+    val a = segs.as("a"); val b = segs.as("b")
+    a.join(b, col("a.seg") === col("b.seg") && col("a.sv") === col("b.sv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHamming)
+  }
+}

@@ -1,12 +1,261 @@
 package graft.ops
 
+import graft.Tables
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline extension queries (dedup, similarity, text analysis)
-  * registered alongside the SURVEY Appendix-A contract. Filled in as the
-  * corresponding operators land (M4/M5).
+/** LLM-data-pipeline extension queries (dedup, similarity search, text
+  * analysis, multimodal plumbing), registered alongside the SURVEY
+  * Appendix-A contract with DuckDB oracles wherever the semantics are
+  * SQL-expressible.
+  *
+  * The MinHash and SimHash near-dup queries deliberately share Q24's
+  * oracle: the approximate candidate generators plus an exact-Jaccard
+  * recheck must reproduce the exact all-pairs result (recall is also
+  * property-tested in DedupSpec) — that's the contract that makes them
+  * safe to use as the production path at scale.
   */
 object ExtensionQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- exact dedup: keeper assignment ------------------------------------
+  def extDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactAssignKeepers(t(s, dir, "documents"))
+      .select("doc_id", "keeper", "is_dup", "group_size")
+      .orderBy("doc_id")
+      .limit(50)
+
+  // ---- Q24-equivalent output from approximate candidates + recheck -------
+  private def rechecked(docs: DataFrame, cands: DataFrame): DataFrame = {
+    val sets = docs.select(
+      col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("s"),
+      size(split(col("text"), " ")).as("n"))
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa"), col("n").as("na")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb"), col("n").as("nb")), "id_b")
+      .filter(abs(col("na") - col("nb")) <= 1 &&
+        (col("na") >= 30 || col("nb") >= 30) && jac >= 0.5)
+      .select(col("id_a").as("da"), col("id_b").as("db"), round(jac, 4).as("jac"))
+      .orderBy(desc("jac"), asc("da"), asc("db"))
+      .limit(50)
+  }
+
+  // Band geometry: 64 bands x 2 rows puts the LSH s-curve threshold at
+  // (1/64)^(1/2) ~= 0.125, so recall at the query's tau=0.5 is
+  // 1-(1-0.5^2)^64 ~= 1-1e-8 — effectively exact, which is what lets
+  // this query share Q24's oracle. (16x4 would miss ~35% of tau=0.5
+  // pairs.) At scale, geometry is the recall/cost dial: more rows per
+  // band = fewer, higher-precision candidates.
+  def extMinhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    rechecked(docs,
+      Dedup.minhashCandidates(docs, "doc_id", "text", bands = 64, rowsPerBand = 2)
+        .select(col("id_a"), col("id_b")))
+  }
+
+  def extSimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.simhashCandidatesSegmented(
+        Dedup.simhash(docs), maxHamming = 12)
+      .select(col("id_a"), col("id_b"))
+    rechecked(docs, cands)
+  }
+
+  // ---- n-gram (3-gram shingle) Jaccard near-dup --------------------------
+  def extNgramNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("g"),
+      size(split(col("text"), " ")).as("n"))
+    val a = d.as("a"); val b = d.as("b")
+    val jac = size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+      size(array_union(col("a.g"), col("b.g")))
+    a.join(b, col("a.doc_id") < col("b.doc_id") && abs(col("a.n") - col("b.n")) <= 1)
+      .filter(size(col("a.g")) > 0 && size(col("b.g")) > 0 && jac >= 0.4)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), round(jac, 4).as("jac3"))
+      .orderBy(desc("jac3"), asc("da"), asc("db"))
+      .limit(50)
+  }
+
+  // ---- similarity search --------------------------------------------------
+  def extEmbedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  def extSimPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.topSimilarPairs(t(s, dir, "embeddings"), limit = 50)
+
+  // ---- text analysis ------------------------------------------------------
+  def extLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"), col("lang"))
+      .orderBy("doc_id")
+      .limit(100)
+
+  def extQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+      .select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio",
+        "distinct_ratio", "alnum_ratio", "quality")
+      .orderBy("doc_id")
+      .limit(100)
+
+  def extTokCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(t(s, dir, "documents"))
+      .select(col("doc_id"), col("ws_tokens"),
+        col("bpeish_tokens").cast("long").as("bpeish_tokens"), col("n_chars_m"))
+      .orderBy("doc_id")
+      .limit(100)
+
+  def extFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+      .limit(50)
+
+  // ---- multimodal plumbing (stub codec; schema/batching real) ------------
+  def extMultimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.extractFeatures(
+        Multimodal.syntheticFromText(t(s, dir, "documents")))
+      .toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"),
+        col("frames_sampled").cast("long").as("frames_sampled"))
+      .orderBy("media_id")
+      .limit(100)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_dedup_exact" -> (extDedupExact _),
+    "ext_minhash_neardup" -> (extMinhashNearDup _),
+    "ext_simhash_neardup" -> (extSimhashNearDup _),
+    "ext_ngram_neardup" -> (extNgramNearDup _),
+    "ext_embed_topk" -> (extEmbedTopK _),
+    "ext_sim_pairs" -> (extSimPairs _),
+    "ext_langid" -> (extLangId _),
+    "ext_quality" -> (extQuality _),
+    "ext_tokcount" -> (extTokCount _),
+    "ext_fingerprint" -> (extFingerprint _),
+    "ext_multimodal" -> (extMultimodal _))
+
+  // ---------------------------------------------------------------- oracle
+
+  private val q24Sql = graft.queries.OracleSql.all("q24")
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map { m =>
+      val escaped = m.replace("'", "''")
+      s"(length(text)-length(replace(text,'$escaped','')))/${m.length}"
+    }.mkString(" + ")
+
+  private val langIdSql: String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      lang -> s"(${langScoreSql(ms)})"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (lang, s) =>
+      s"when $s = best then '$lang'"
+    }.mkString(" ")
+    s"""with scored as (select doc_id, lang, text, $best best from documents)
+       |select doc_id, case $cases end lang_guess, lang
+       |from scored order by doc_id limit 100""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "ext_dedup_exact" ->
+      """with h as (select doc_id, sha256(text) h from documents),
+        |k as (select h, min(doc_id) keeper, count(*) group_size from h group by h)
+        |select doc_id, keeper, doc_id<>keeper is_dup, group_size
+        |from h join k using(h) order by doc_id limit 50""".stripMargin,
+
+    "ext_minhash_neardup" -> q24Sql,
+    // ext_simhash_neardup has NO oracle: SimHash is inherently
+    // approximate (hamming<=12 at 64 bits cannot guarantee recall 1.0 on
+    // tf-noisy near-dups), so the driver records the weaker rows-only
+    // check; precision and the segmented-join equivalence are
+    // property-tested in DedupSpec.
+
+    "ext_ngram_neardup" ->
+      """with d as (select doc_id,
+        |  list_distinct(case when len(string_split(text,' ')) >= 3
+        |    then list_transform(generate_series(1, len(string_split(text,' '))-2),
+        |      i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])
+        |    else [] end) g,
+        |  len(string_split(text,' ')) n from documents)
+        |select a.doc_id da, b.doc_id db,
+        |  round(cast(len(list_intersect(a.g,b.g)) as double)/len(list_distinct(list_concat(a.g,b.g))),4) jac3
+        |from d a join d b on a.doc_id < b.doc_id and abs(a.n-b.n)<=1
+        |where len(a.g)>0 and len(b.g)>0
+        |  and cast(len(list_intersect(a.g,b.g)) as double)/len(list_distinct(list_concat(a.g,b.g))) >= 0.4
+        |order by jac3 desc, da, db limit 50""".stripMargin,
+
+    "ext_embed_topk" ->
+      """with e as (select vec_id, cast(embedding as double[]) v from embeddings),
+        |p as (select vec_id probe_id, v pv from e where vec_id < 5),
+        |sims as (select p.probe_id, e.vec_id,
+        |  round(list_dot_product(e.v,p.pv)
+        |    /(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(p.pv,p.pv))),4) sim
+        |  from e cross join p where e.vec_id <> p.probe_id),
+        |ranked as (select probe_id, vec_id, sim,
+        |  row_number() over (partition by probe_id order by sim desc, vec_id) rank from sims)
+        |select probe_id, vec_id, sim, rank from ranked
+        |where rank <= 5 order by probe_id, rank""".stripMargin,
+
+    "ext_sim_pairs" ->
+      """with e as (select vec_id, cast(embedding as double[]) v from embeddings)
+        |select a.vec_id id_a, b.vec_id id_b,
+        |  round(list_dot_product(a.v,b.v)
+        |    /(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),4) sim
+        |from e a join e b on a.vec_id < b.vec_id
+        |order by sim desc, id_a, id_b limit 50""".stripMargin,
+
+    "ext_langid" -> langIdSql,
+
+    "ext_quality" ->
+      """with f as (select doc_id,
+        |  cast(len(list_filter(string_split(text,' '), t -> t <> '')) as double) nt,
+        |  cast(len(list_filter(string_split(text,' '),
+        |    t -> t in ('the','a','of','and','to','in','is','on','for','with'))) as double) nstop,
+        |  cast(len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) as double) nd,
+        |  cast(length(text) as double) nc,
+        |  cast(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) as double) nalnum
+        |  from documents)
+        |select doc_id, cast(nt as bigint) n_tokens,
+        |  round((nc - (nt - 1)) / nt, 4) mean_tok_len,
+        |  round(nstop / nt, 4) stop_ratio,
+        |  round(nd / nt, 4) distinct_ratio,
+        |  round(nalnum / nc, 4) alnum_ratio,
+        |  round(least(cast(1.0 as double), nt / cast(100.0 as double)) * cast(0.4 as double)
+        |    + (nd / nt) * cast(0.3 as double)
+        |    + (cast(1.0 as double) - nstop / nt) * cast(0.2 as double)
+        |    + (nalnum / nc) * cast(0.1 as double), 4) quality
+        |from f order by doc_id limit 100""".stripMargin,
+
+    "ext_tokcount" ->
+      """select doc_id,
+        |  len(list_filter(string_split(text,' '), t -> t <> '')) ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) bpeish_tokens,
+        |  length(text) n_chars_m
+        |from documents order by doc_id limit 100""".stripMargin,
+
+    "ext_fingerprint" ->
+      """select doc_id,
+        |  sha256(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(text,' '), t -> t <> ''))),' ')) fp
+        |from documents order by doc_id limit 50""".stripMargin,
+
+    "ext_multimodal" ->
+      """select doc_id media_id,
+        |  case when doc_id%3=0 then 'image' when doc_id%3=1 then 'audio'
+        |       else 'video' end modality,
+        |  strlen(text) n_bytes,
+        |  least(8, greatest(1, strlen(text) // greatest(1, strlen(text)//8))) frames_sampled
+        |from documents order by media_id limit 100""".stripMargin)
 }

@@ -21,7 +21,10 @@ class ContractQueriesSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("every query has oracle SQL or is explicitly non-SQL") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Approximate-by-design ops whose outputs depend on engine-internal
+    // hashes get the driver's rows-only check instead of a DuckDB oracle.
+    val rowsOnly = Set("ext_simhash_neardup")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 }
