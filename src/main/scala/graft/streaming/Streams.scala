@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table (SURVEY §2.10,
+  * ST-1..ST-7). Batch and stream share the same event-time logic, so
+  * every stream here converges to a batch oracle on full replay
+  * ("replay-equivalence", SURVEY §5.4) — that equivalence is the test
+  * contract, enforced in StreamingSpec.
+  *
+  * Scale notes: all aggregations are keyed on (window/session, type or
+  * user) so state partitions across executors; watermarks bound state
+  * size; the file source scales by splitting input into many files
+  * (maxFilesPerTrigger throttles micro-batch size). Stream-static joins
+  * broadcast the dim side per micro-batch when small.
+  */
+object Streams {
+
+  /** events.parquet physical schema — ts is INT64 TIMESTAMP(NANOS),
+    * surfaced as LongType under nanosAsLong (streaming sources need the
+    * schema declared; we convert to a true microsecond timestamp column
+    * exactly like the batch reader so both paths agree).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over an events parquet directory (replay). */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val r = spark.readStream.schema(eventsRawSchema)
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    r2.parquet(dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // ---- ST-1 tumbling window aggregation ----------------------------------
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(round(sum("value"), 2).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("w.start").as("h"), col("event_type"), col("sv"), col("cnt"))
+
+  // ---- ST-2 sliding window aggregation -----------------------------------
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+
+  // ---- ST-3 session windows (30-minute gap) ------------------------------
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("s"), col("sw.end").as("e"),
+        col("n_events"))
+
+  /** Per-user session totals from [[sessionCounts]] output (batch agg on
+    * the materialized stream result) — directly comparable to Q25.
+    */
+  def sessionTotals(sessionised: DataFrame): DataFrame =
+    sessionised.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+
+  // ---- ST-5 streaming dedup ----------------------------------------------
+  def dedupByEventId(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  // ---- ST-6 stream-static join -------------------------------------------
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+      events("user_id") === customers("c_custkey"), "inner")
+
+  // ---- ST-7 arbitrary stateful processing --------------------------------
+  case class UserSessState(lastTs: Long, nSessions: Long, nEvents: Long)
+  case class UserSessOut(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom per-user sessionization with explicit state
+    * (flatMapGroupsWithState): replicates Q25's strict >30-min-gap rule.
+    * Events within one micro-batch are sorted per user; across batches
+    * the state carries the last seen timestamp. (With unordered
+    * cross-batch arrival the rule degrades like any online sessionizer —
+    * the replay spec feeds batches in time order, which is also the
+    * production layout for backfills.)
+    */
+  def statefulSessionCounts(events: DataFrame): Dataset[UserSessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserSessState, UserSessOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[UserSessState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(UserSessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, tms, _) =>
+            val newSession = st.lastTs == Long.MinValue || tms - st.lastTs > gapMs
+            st = UserSessState(tms,
+              st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator.single(UserSessOut(userId, st.nSessions, st.nEvents))
+      }
+  }
+}

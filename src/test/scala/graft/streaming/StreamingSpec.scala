@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Replay-equivalence harness (SURVEY §5.4): replay events.parquet
+  * through each streaming operator into a memory sink and require the
+  * final state to equal the batch formulation of the same logic.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  // the streaming file source requires a DIRECTORY; the fixture is a
+  // single file — stage it into a temp dir once
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("events_replay")
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), d.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  private lazy val batchEvents = Tables.table(spark, sf0001, "events").cache()
+
+  private var sinkId = 0
+  /** Run a streaming DF to completion against a memory sink; return the
+    * sink contents as a DataFrame.
+    */
+  private def replay(df: DataFrame, mode: String): DataFrame = {
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+  }
+
+  test("ST-1 tumbling window replay equals batch date_trunc aggregation") {
+    val stream = Streams.tumblingCounts(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream, "complete")
+    val expected = batchEvents
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(round(sum("value"), 2).as("sv"), count(lit(1)).as("cnt"))
+    assert(canon(got) == canon(expected))
+  }
+
+  test("ST-2 sliding window replay equals batch window() aggregation") {
+    val stream = Streams.slidingCounts(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream, "complete")
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+    assert(canon(got) == canon(expected))
+    // each event lands in exactly 4 sliding windows
+    val totalInWindows = got.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(totalInWindows == batchEvents.count() * 4)
+  }
+
+  test("ST-3 session windows: per-user session totals equal Q25") {
+    val stream = Streams.sessionCounts(Streams.readEvents(spark, eventsDir))
+    val got = Streams.sessionTotals(replay(stream, "complete"))
+      .orderBy("user_id").limit(50)
+    val expected = graft.queries.ContractQueries.q25(spark, sf0001)
+    assert(canon(got) == canon(expected))
+  }
+
+  test("ST-5 streaming dedup: duplicate event_ids collapse on replay") {
+    // craft a replay dir with the fixture file twice -> every event is
+    // duplicated across micro-batches
+    val tmp = Files.createTempDirectory("events_dup")
+    val src = Paths.get(s"$sf0001/events.parquet")
+    Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = Streams.dedupByEventId(
+      Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1)))
+    val got = replay(stream, "append")
+    assert(got.count() == batchEvents.count())
+    assert(got.select("event_id").distinct().count() == batchEvents.count())
+  }
+
+  test("ST-4 watermark drops events older than the cutoff on a crafted replay") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("events_late")
+    val base = "2024-06-01 12:00:00"
+    def mk(rows: Seq[(Long, Long, Long)], file: String, mtime: Long): Unit = {
+      val df = rows.toDF("event_id", "mins", "user_id")
+        .select(col("event_id"),
+          (unix_timestamp(lit(base).cast("timestamp")) + col("mins") * 60)
+            .cast("long").*(lit(1000000000L)).as("ts"),
+          col("user_id"), lit("t").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+      val out = tmp.resolve(file + ".tmpdir")
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      val part = Files.list(out).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = tmp.resolve(file)
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    // Three micro-batches: f1 at 12:00..13:00 advances the watermark to
+    // 12:50; f2 keeps it moving; f3 carries a 2h-late event (11:00).
+    // Two behaviors measured in THIS repo (Spark 4.1.2), both asserted:
+    //  - dropDuplicates does NOT filter late input rows (only evicts
+    //    state), so watermark-drop tests must aggregate;
+    //  - since the multiple-stateful-operator change, late-record
+    //    filtering uses the PREVIOUS batch's watermark
+    //    (watermarkForLateEvents), so a late row is only dropped when it
+    //    arrives >= 2 batches after the event that advanced the
+    //    watermark — hence three files, not two.
+    val t0 = System.currentTimeMillis() - 100000
+    mk(Seq((1L, 0L, 1L), (2L, 30L, 1L), (3L, 60L, 1L)), "f1.parquet", t0)
+    mk(Seq((4L, 70L, 1L)), "f2.parquet", t0 + 30000)
+    mk(Seq((5L, -60L, 1L), (6L, 80L, 1L)), "f3.parquet", t0 + 60000)
+    val stream = Streams.tumblingCounts(
+      Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1)),
+      watermark = "10 minutes")
+    val got = replay(stream, "append")
+    val byHour = got.collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(3)).toMap
+    assert(!byHour.keySet.exists(_.startsWith("2024-06-01 11:")),
+      s"late event created a watermark-expired window: $byHour")
+    assert(byHour.getOrElse("2024-06-01 12:00:00.0", 0L) == 2L,
+      s"on-time window wrong: $byHour")
+  }
+
+  test("ST-6 stream-static join equals batch join") {
+    val customers = Tables.table(spark, sf0001, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val stream = Streams.enrichWithCustomers(
+        Streams.readEvents(spark, eventsDir), customers)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val got = replay(stream, "complete")
+    val expected = batchEvents.join(customers,
+        batchEvents("user_id") === customers("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(canon(got) == canon(expected))
+  }
+
+  test("ST-7 flatMapGroupsWithState sessionization equals Q25") {
+    val stream = Streams.statefulSessionCounts(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream.toDF(), "update")
+      .orderBy("user_id").limit(50)
+    val expected = graft.queries.ContractQueries.q25(spark, sf0001)
+    assert(canon(got) == canon(expected))
+  }
+}
