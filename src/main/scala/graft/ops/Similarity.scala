@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.VectorFunctions._
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,14 @@ object Similarity {
     * Output: (probe_id, vec_id, sim, rank) — rank 1..k, ties broken by
     * vec_id, sim rounded to `roundTo` for cross-engine determinism.
     */
+  /** Fused native cosine (graft.functions.CosineSimilarity); the
+    * builder registers it on the corpus session on first use.
+    */
+  private def cosineSim(df: DataFrame, a: Column, b: Column): Column = {
+    GraftFunctions.register(df.sparkSession)
+    call_function("cosine_sim", a, b)
+  }
+
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       roundTo: Int = 4): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -35,7 +43,7 @@ object Similarity {
         col("embedding").as("probe_vec"))))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("probe_vec")), roundTo).as("sim"))
+        round(cosineSim(corpus, col("embedding"), col("probe_vec")), roundTo).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
@@ -49,7 +57,7 @@ object Similarity {
     val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), roundTo).as("sim"))
+        round(cosineSim(corpus, col("va"), col("vb")), roundTo).as("sim"))
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(limit)
   }
@@ -105,7 +113,7 @@ object Similarity {
       .partitionBy("probe_id").orderBy(desc("sim"), asc("vec_id"))
     lshCandidates(corpus, probes, dim, bits, radius, seed)
       .select(col("probe_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("probe_vec")), 4).as("sim"))
+        round(cosineSim(corpus, col("embedding"), col("probe_vec")), 4).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

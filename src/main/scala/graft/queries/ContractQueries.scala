@@ -148,14 +148,18 @@ object ContractQueries {
   }
 
   // ---- B10 cosine top-10 neighbors of vec_id=0 (T-10, F-5, J-8) ----------
+  // Uses the native fused cosine_sim expression (graft.functions
+  // .CosineSimilarity, §4.4): one codegen'd loop instead of the
+  // zip_with+3×aggregate chain. Property-tested equal to the built-in
+  // composition (VectorFunctions.cosine), which remains the spec.
   def b10(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions._
+    graft.functions.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
     val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("e"))
     emb.crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("e")), 4).as("sim"))
+        round(call_function("cosine_sim", col("embedding"), col("e")), 4).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(10)
   }
