@@ -42,7 +42,12 @@ class Glove(
     val learningRate: Double = 0.05,
     val iterations: Int = 25,
     val numPartitions: Int = 32,
-    val seed: Long = 42L) extends Serializable {
+    val seed: Long = 42L,
+    /** None = auto: broadcast while 2·V·(dim+1) parameters fit
+      * comfortably (< ~16M doubles ≈ 128 MB); block-partitioned
+      * ([[GloveBlockTrainer]]) beyond. Some(true/false) forces a path.
+      */
+    val distributed: Option[Boolean] = None) extends Serializable {
 
   def fit(documents: DataFrame, textCol: String = "text"): GloveModel = {
     val spark = documents.sparkSession
@@ -70,23 +75,37 @@ class Glove(
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nnz = cooc.count() // materialize
 
-    // Stage 4: AdaGrad training loop.
-    val trained = GloveTrainer.train(
-      cooc, v, dim, xMax, alpha, learningRate, iterations, seed)
-    cooc.unpersist()
+    val useBlock = distributed.getOrElse(2L * v * (dim + 1) > 16_000_000L)
+    if (useBlock) {
+      // Stage 4 (large V): block-partitioned join-exchange training —
+      // parameters never touch the driver.
+      val trainer = new GloveBlockTrainer(dim, xMax, alpha, learningRate,
+        iterations, numPartitions, seed)
+      val (vecs, lossHistory) = trainer.train(cooc, v)
+      cooc.unpersist()
+      val wordsDf = spark.createDataFrame(words.zipWithIndex.toSeq)
+        .toDF("word", "id")
+      val embeddings = wordsDf.join(vecs, "id").select("word", "id", "vec")
+      new GloveModel(embeddings, dim, lossHistory)
+    } else {
+      // Stage 4 (small V): broadcast + per-partition AdaGrad + delta merge.
+      val trained = GloveTrainer.train(
+        cooc, v, dim, xMax, alpha, learningRate, iterations, seed)
+      cooc.unpersist()
 
-    // Output vectors: W + W̃ (GloVe §4.2).
-    val out = (0 until v).map { i =>
-      val vec = new Array[Float](dim)
-      var k = 0
-      while (k < dim) {
-        vec(k) = (trained.wMain(i * dim + k) + trained.wCtx(i * dim + k)).toFloat
-        k += 1
+      // Output vectors: W + W̃ (GloVe §4.2).
+      val out = (0 until v).map { i =>
+        val vec = new Array[Float](dim)
+        var k = 0
+        while (k < dim) {
+          vec(k) = (trained.wMain(i * dim + k) + trained.wCtx(i * dim + k)).toFloat
+          k += 1
+        }
+        (words(i), i, vec)
       }
-      (words(i), i, vec)
+      val embeddings = spark.createDataFrame(out).toDF("word", "id", "vec")
+      new GloveModel(embeddings, dim, trained.lossHistory)
     }
-    val embeddings = spark.createDataFrame(out).toDF("word", "id", "vec")
-    new GloveModel(embeddings, dim, trained.lossHistory)
   }
 }
 
