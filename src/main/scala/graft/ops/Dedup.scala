@@ -78,15 +78,32 @@ object Dedup {
     * small for any sane band geometry).
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    minhashCandidatesFromSets(docs, idCol, tokenSet(col(textCol)), bands, rowsPerBand)
+
+  /** Same banding over an arbitrary element-set column (token sets,
+    * shingle sets, …).
+    *
+    * Two performance rules learned from a measured 100× blowup at sf0.1:
+    *  - the (id, set) projection is persisted before banding. Without
+    *    the barrier, CollapseProject inlines the set-building expression
+    *    into every hash lambda, recomputing it numHashes times per doc
+    *    (and once per join side);
+    *  - each band hashes its OWN rowsPerBand minhash values directly.
+    *    The slice-of-full-signature formulation re-evaluates the entire
+    *    signature expression once per band under the same inlining.
+    */
+  def minhashCandidatesFromSets(docs: DataFrame, idCol: String, setCol: Column,
       bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignature(tokenSet(col(textCol)), bands * rowsPerBand)
-    val banded = docs
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
-        .as("bucket"))
+    val withSet = docs.select(col(idCol).as("id"), setCol.as("set_"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedExpr = transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64((0 until rowsPerBand).map(r0 =>
+          array_min(transform(col("set_"),
+            t => xxhash64(b * rowsPerBand + lit(r0), t)))): _*).as("bh")))
+    val banded = withSet
+      .select(col("id"), explode(bandedExpr).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -112,6 +129,58 @@ object Dedup {
       .withColumn("jac", jaccard(col("sa"), col("sb")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Near-dup pairs (id_a < id_b, jac) at `threshold` over an arbitrary
+    * set column — the full production pipeline:
+    *
+    *  1. canonicalize: group ids by their (sorted) set — identical sets
+    *     collapse to ONE representative, so LSH never joins a clique of
+    *     exact duplicates (with a small vocabulary thousands of docs
+    *     share a set; banding them directly is quadratic in the clique);
+    *  2. MinHash-LSH banding over DISTINCT sets only;
+    *  3. exact Jaccard computed once per candidate SET pair;
+    *  4. expansion back to element pairs: qualifying cross-set pairs get
+    *     the set-pair's jac; intra-group pairs are exact duplicates
+    *     (jac = 1.0 by construction).
+    *
+    * Work is O(distinct_sets · bands) shuffle + output size — the
+    * expansion is bounded by the true result, which no exact-recall
+    * implementation can avoid.
+    */
+  def minhashNearDupPairsFromSets(docs: DataFrame, idCol: String, setCol: Column,
+      threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
+    val groups = docs
+      .select(col(idCol).as("id"), sort_array(setCol).as("set_"))
+      .groupBy("set_")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("gid", element_at(col("ids"), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val setPairs = minhashCandidatesFromSets(
+        groups.select(col("gid"), col("set_")), "gid", col("set_"),
+        bands, rowsPerBand)
+      .join(groups.select(col("gid").as("id_a"), col("set_").as("sa")), "id_a")
+      .join(groups.select(col("gid").as("id_b"), col("set_").as("sb")), "id_b")
+      .withColumn("jac", jaccard(col("sa"), col("sb")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a").as("ga"), col("id_b").as("gb"), col("jac"))
+
+    val cross = setPairs
+      .join(groups.select(col("gid").as("ga"), col("ids").as("ids_a")), "ga")
+      .join(groups.select(col("gid").as("gb"), col("ids").as("ids_b")), "gb")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jac"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jac"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jac"))
+
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("jac"))
+
+    cross.unionAll(intra)
   }
 
   // ------------------------------------------------------------- SimHash

@@ -50,13 +50,22 @@ object ExtensionQueries {
   // (1/64)^(1/2) ~= 0.125, so recall at the query's tau=0.5 is
   // 1-(1-0.5^2)^64 ~= 1-1e-8 — effectively exact, which is what lets
   // this query share Q24's oracle. (16x4 would miss ~35% of tau=0.5
-  // pairs.) At scale, geometry is the recall/cost dial: more rows per
-  // band = fewer, higher-precision candidates.
+  // pairs.) Runs through the full distinct-set pipeline
+  // (Dedup.minhashNearDupPairsFromSets): exact-duplicate sets collapse
+  // before banding, jac is computed once per SET pair, then expanded.
   def extMinhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    rechecked(docs,
-      Dedup.minhashCandidates(docs, "doc_id", "text", bands = 64, rowsPerBand = 2)
-        .select(col("id_a"), col("id_b")))
+    val pairs = Dedup.minhashNearDupPairsFromSets(docs, "doc_id",
+      array_distinct(split(col("text"), " ")), threshold = 0.5,
+      bands = 64, rowsPerBand = 2)
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    pairs
+      .join(lens.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(lens.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(abs(col("na") - col("nb")) <= 1 && (col("na") >= 30 || col("nb") >= 30))
+      .select(col("id_a").as("da"), col("id_b").as("db"), round(col("jac"), 4).as("jac"))
+      .orderBy(desc("jac"), asc("da"), asc("db"))
+      .limit(50)
   }
 
   def extSimhashNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -68,17 +77,25 @@ object ExtensionQueries {
   }
 
   // ---- n-gram (3-gram shingle) Jaccard near-dup --------------------------
+  // Production path: MinHash-LSH over the SHINGLE sets (not an all-pairs
+  // join) + exact recheck, so the same operator scales to 100 TB while
+  // hash-matching the all-pairs oracle. 96x2 bands put the s-curve
+  // threshold at ~0.10 — recall at tau=0.4 is 1-(1-0.16)^96 ~ 1-6e-8.
   def extNgramNearDup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(
       col("doc_id"),
       array_distinct(Dedup.shingles(col("text"), 3)).as("g"),
       size(split(col("text"), " ")).as("n"))
-    val a = d.as("a"); val b = d.as("b")
-    val jac = size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
-      size(array_union(col("a.g"), col("b.g")))
-    a.join(b, col("a.doc_id") < col("b.doc_id") && abs(col("a.n") - col("b.n")) <= 1)
-      .filter(size(col("a.g")) > 0 && size(col("b.g")) > 0 && jac >= 0.4)
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), round(jac, 4).as("jac3"))
+    val cands = Dedup.minhashCandidatesFromSets(d, "doc_id", col("g"),
+      bands = 96, rowsPerBand = 2)
+    val jac = size(array_intersect(col("ga"), col("gb"))).cast("double") /
+      size(array_union(col("ga"), col("gb")))
+    cands
+      .join(d.select(col("doc_id").as("id_a"), col("g").as("ga"), col("n").as("na")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("g").as("gb"), col("n").as("nb")), "id_b")
+      .filter(abs(col("na") - col("nb")) <= 1 &&
+        size(col("ga")) > 0 && size(col("gb")) > 0 && jac >= 0.4)
+      .select(col("id_a").as("da"), col("id_b").as("db"), round(jac, 4).as("jac3"))
       .orderBy(desc("jac3"), asc("da"), asc("db"))
       .limit(50)
   }

@@ -411,6 +411,26 @@ object ContractQueries {
       .limit(100)
   }
 
+  // ---- Q37 left outer join + agg (J-10): customers with zero orders ------
+  def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+      .orderBy("c_custkey")
+      .limit(50)
+
+  // ---- Q38 full outer join (J-10) -----------------------------------------
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").select(col("c_nationkey").as("ka")).distinct()
+    val b = t(s, dir, "nation").select(col("n_nationkey").as("kb")).distinct()
+    a.join(b, col("ka") === col("kb"), "full")
+      .select(coalesce(col("ka"), col("kb")).as("k"),
+        col("ka").isNotNull.as("in_customer"), col("kb").isNotNull.as("in_nation"))
+      .orderBy("k")
+  }
+
   // ---- Q36 union distinct (U-2) --------------------------------------------------
   def q36(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("k"))
@@ -430,5 +450,6 @@ object ContractQueries {
     "q21" -> (q21 _), "q24" -> (q24 _), "q25" -> (q25 _),
     "q27" -> (q27 _), "q29" -> (q29 _), "q31" -> (q31 _),
     "q32" -> (q32 _), "q33" -> (q33 _), "q34" -> (q34 _),
-    "q35" -> (q35 _), "q36" -> (q36 _))
+    "q35" -> (q35 _), "q36" -> (q36 _), "q37" -> (q37 _),
+    "q38" -> (q38 _))
 }

@@ -205,7 +205,19 @@ object OracleSql {
 
     "q36" ->
       """select k from (select c_nationkey k from customer
-        |  union select n_nationkey from nation) order by k""".stripMargin
+        |  union select n_nationkey from nation) order by k""".stripMargin,
+
+    "q37" ->
+      """select c_custkey, count(o_orderkey) n_orders,
+        | round(coalesce(sum(o_totalprice), cast(0.0 as double)), 2) spend
+        |from customer c left join orders o on c_custkey=o_custkey
+        |group by c_custkey order by c_custkey limit 50""".stripMargin,
+
+    "q38" ->
+      """select coalesce(a.ka, b.kb) k, a.ka is not null in_customer, b.kb is not null in_nation
+        |from (select distinct c_nationkey ka from customer) a
+        |full join (select distinct n_nationkey kb from nation) b on a.ka=b.kb
+        |order by k""".stripMargin
   )
 
   private lazy val cooccurSql: String =

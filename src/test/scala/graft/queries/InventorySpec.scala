@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closes the remaining SURVEY §2 inventory rows that are neither
+  * oracle queries nor property suites of their own: A-3 approximate
+  * distinct (tolerance vs exact, excluded from hashing by design),
+  * S-4 CSV source, S-5 parquet sink round-trip.
+  */
+class InventorySpec extends AnyFunSuite with SparkFixture {
+
+  test("A-3: approx_count_distinct within 5% of exact per event_type") {
+    val e = Tables.table(spark, sf001, "events")
+    val both = e.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact"),
+        approx_count_distinct("user_id", 0.02).as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("S-4/S-5: CSV source and parquet sink round-trip a query result") {
+    val dir = java.nio.file.Files.createTempDirectory("io_spec").toString
+    val b1 = ContractQueries.b1(spark, sf0001)
+    b1.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    b1.write.mode("overwrite").parquet(s"$dir/parquet")
+
+    val fromParquet = spark.read.parquet(s"$dir/parquet")
+    // parquet round-trips name+type; nullability is always true on read
+    assert(fromParquet.schema.map(f => (f.name, f.dataType)) ==
+      b1.schema.map(f => (f.name, f.dataType)))
+    assert(fromParquet.orderBy("l_returnflag", "l_linestatus").collect().toSeq ==
+      b1.collect().toSeq)
+
+    val fromCsv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    assert(fromCsv.count() == b1.count())
+    assert(fromCsv.columns.toSeq == b1.columns.toSeq)
+  }
+
+  test("T-11: analogy query returns k rows excluding the inputs") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val model = new graft.glove.Glove(dim = 8, window = 2, minCount = 5,
+      iterations = 5, numPartitions = 4).fit(docs)
+    val words = model.embeddings.select("word").collect().map(_.getString(0))
+    val Array(a, b, c) = words.take(3)
+    val out = model.analogy(a, b, c, k = 3).collect()
+    assert(out.length == 3)
+    assert(!out.map(_.getString(0)).toSet.exists(Set(a, b, c)))
+  }
+}
