@@ -73,6 +73,28 @@ object ContractQueries {
       .limit(100)
   }
 
+  // ---- B4 via typed top-k Aggregator (X-2/A-10 production alternative) ---
+  // Same result as b4, computed with graft.functions.TopKAggregator:
+  // bounded per-partition buffers + associative merge instead of a full
+  // per-group sort under WindowExec. Shares b4's oracle.
+  def b4Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    t(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("g"),
+        col("o_totalprice").as("score"), col("o_orderkey").cast("long").as("tb"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, score, tb) => Scored(score, tb) }
+      .agg(new TopKAggregator(3).toColumn.name("top"))
+      .flatMap { case (g, top) =>
+        top.zipWithIndex.map { case (sc, i) => (g, sc.tiebreak, sc.score, (i + 1).toLong) }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+      .limit(100)
+  }
+
   // ---- B5 rollup (A-4, O-2) ----------------------------------------------
   // The rollup itself goes through the SQL entry point: Dataset.rollup on a
   // join result trips a false positive in Spark 4.1.2's
@@ -440,7 +462,7 @@ object ContractQueries {
 
   /** All contract queries keyed by their SURVEY Appendix-A ids. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "b1" -> (b1 _), "b2" -> (b2 _), "b3" -> (b3 _), "b4" -> (b4 _),
+    "b1" -> (b1 _), "b2" -> (b2 _), "b3" -> (b3 _), "b4" -> (b4 _), "b4_agg" -> (b4Agg _),
     "b5" -> (b5 _), "b6" -> (b6 _), "b7" -> (b7 _), "b8" -> (b8 _),
     "b9" -> (b9 _), "b9_join" -> (b9Join _), "b10" -> (b10 _),
     "q11" -> (q11 _), "q12" -> (q12 _), "q13" -> (q13 _),

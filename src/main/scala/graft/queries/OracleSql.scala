@@ -40,6 +40,11 @@ object OracleSql {
         |  row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) rn
         |  from orders) where rn<=3 order by o_custkey, rn limit 100""".stripMargin,
 
+    "b4_agg" ->
+      """select * from (select o_custkey, o_orderkey, o_totalprice,
+        |  row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) rn
+        |  from orders) where rn<=3 order by o_custkey, rn limit 100""".stripMargin,
+
     "b5" ->
       """select n_name, c_mktsegment, count(*) cnt, round(sum(c_acctbal),2) bal
         |from customer join nation on c_nationkey=n_nationkey

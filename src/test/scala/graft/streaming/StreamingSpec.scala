@@ -143,6 +143,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(got) == canon(expected))
   }
 
+  test("S-7 parquet sink and foreachBatch write streaming output durably") {
+    val outDir = Files.createTempDirectory("stream_out")
+    // parquet streaming sink (append) with checkpoint
+    val q1 = Streams.dedupByEventId(Streams.readEvents(spark, eventsDir))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/parquet")
+      .option("checkpointLocation", s"$outDir/cp1")
+      .outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$outDir/parquet").count() == batchEvents.count())
+
+    // foreachBatch: arbitrary per-micro-batch logic (here: upsert-style
+    // write of an aggregation)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q2 = Streams.tumblingCounts(Streams.readEvents(spark, eventsDir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        seen.addAndGet(batch.count())
+        batch.write.mode("overwrite").parquet(s"$outDir/fb_$id")
+      }
+      .outputMode("complete").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.get() > 0)
+  }
+
   test("ST-7 flatMapGroupsWithState sessionization equals Q25") {
     val stream = Streams.statefulSessionCounts(Streams.readEvents(spark, eventsDir))
     val got = replay(stream.toDF(), "update")
