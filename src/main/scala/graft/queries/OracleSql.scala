@@ -12,6 +12,15 @@ package graft.queries
   */
 object OracleSql {
 
+  private lazy val all24: String =
+    """with t as (select doc_id, list_distinct(string_split(text,' ')) s, len(string_split(text,' ')) n from documents)
+      |select a.doc_id da, b.doc_id db,
+      |  round(cast(len(list_intersect(a.s,b.s)) as double)/len(list_distinct(list_concat(a.s,b.s))),4) jac
+      |from t a join t b on a.doc_id < b.doc_id and abs(a.n-b.n)<=1
+      |where cast(len(list_intersect(a.s,b.s)) as double)/len(list_distinct(list_concat(a.s,b.s))) >= 0.5
+      |  and (a.n>=30 or b.n>=30)
+      |order by jac desc, da, db limit 50""".stripMargin
+
   val all: Map[String, String] = Map(
     "b1" ->
       """select l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty,
@@ -146,14 +155,9 @@ object OracleSql {
         |from orders group by cube(o_orderstatus, o_orderpriority)
         |order by o_orderstatus nulls first, o_orderpriority nulls first""".stripMargin,
 
-    "q24" ->
-      """with t as (select doc_id, list_distinct(string_split(text,' ')) s, len(string_split(text,' ')) n from documents)
-        |select a.doc_id da, b.doc_id db,
-        |  round(cast(len(list_intersect(a.s,b.s)) as double)/len(list_distinct(list_concat(a.s,b.s))),4) jac
-        |from t a join t b on a.doc_id < b.doc_id and abs(a.n-b.n)<=1
-        |where cast(len(list_intersect(a.s,b.s)) as double)/len(list_distinct(list_concat(a.s,b.s))) >= 0.5
-        |  and (a.n>=30 or b.n>=30)
-        |order by jac desc, da, db limit 50""".stripMargin,
+    "q24" -> all24,
+
+    "q24_join" -> all24,
 
     "q25" ->
       """with g as (select user_id, ts, epoch_ms(ts) tms,

@@ -45,6 +45,20 @@ class InventorySpec extends AnyFunSuite with SparkFixture {
     assert(fromCsv.columns.toSeq == b1.columns.toSeq)
   }
 
+  test("F-7: from_json to MapType, map_keys, element access") {
+    val e = Tables.table(spark, sf001, "events")
+    val m = e.select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("pm"))
+      .select(col("event_id"), map_keys(col("pm")).as("ks"),
+        element_at(col("pm"), "k").as("k"))
+      .limit(20).collect()
+    assert(m.nonEmpty)
+    assert(m.forall(r => r.getSeq[String](1).contains("k")))
+    assert(m.forall(r => r.getString(2) != null))
+  }
+
   test("T-11: analogy query returns k rows excluding the inputs") {
     val docs = Tables.table(spark, sf0001, "documents")
     val model = new graft.glove.Glove(dim = 8, window = 2, minCount = 5,
