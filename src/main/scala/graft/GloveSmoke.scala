@@ -29,6 +29,10 @@ object GloveSmoke {
       println(f"GLOVE $label%-9s vocab=$v loss ${l.head}%.4f -> ${l.last}%.4f " +
         s"neighbors(data)=[$top]")
       assert(l.last < l.head && v > 0)
+      val docVecs = model.transform(docs.limit(20)).select("doc_id", "doc_vec").collect()
+      assert(docVecs.length == 20 &&
+        docVecs.forall(r => r.getSeq[Double](1).length == 16))
+      println(s"GLOVE $label transform ok: ${docVecs.length} doc vectors of dim 16")
     }
     spark.stop()
   }

@@ -45,19 +45,24 @@ class GloveModel(
 
   /** Document vectors: average of word vectors over `textCol` tokens
     * (OOV tokens ignored; docs with no in-vocab token get null).
-    * Implemented as explode + broadcast join + groupBy avg — fully
-    * relational, scales with the corpus.
+    * Implemented as explode + broadcast join + per-(doc, dimension)
+    * average — fully relational, scales with the corpus AND with the
+    * embedding dimension (plan size is constant in `dim`, unlike a
+    * per-dimension aggregate-expression list, which bloats the plan at
+    * dim ≥ a few hundred).
     */
   def transform(documents: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", outputCol: String = "doc_vec"): DataFrame = {
     val toks = documents.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
     val joined = toks.join(broadcast(embeddings.select("word", "vec")), Seq("word"))
-    // per-dimension mean via element-wise aggregate of arrays
     val summed = joined
+      .select(col(idCol), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(idCol, "pos")
+      .agg(avg("v").as("m"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_toks"),
-        array((0 until dim).map(i => avg(element_at(col("vec"), i + 1))): _*).as(outputCol))
-      .drop("n_toks")
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as(outputCol))
     documents.join(summed, Seq(idCol), "left")
   }
 

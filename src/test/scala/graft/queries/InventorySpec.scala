@@ -59,6 +59,19 @@ class InventorySpec extends AnyFunSuite with SparkFixture {
     assert(m.forall(r => r.getString(2) != null))
   }
 
+  test("S-2: raw text corpus source feeds the text operators") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_txt")
+    java.nio.file.Files.writeString(dir.resolve("corpus.txt"),
+      "alpha beta alpha\ngamma beta alpha\n")
+    val corpus = spark.read.text(dir.toString)
+      .select(monotonically_increasing_id().as("doc_id"), col("value").as("text"))
+    val vocab = graft.text.Vocabulary.build(corpus, minCount = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L))
+    val pairs = graft.text.Cooccurrence.aggregated(corpus, window = 1)
+    assert(pairs.count() > 0)
+  }
+
   test("T-11: analogy query returns k rows excluding the inputs") {
     val docs = Tables.table(spark, sf0001, "documents")
     val model = new graft.glove.Glove(dim = 8, window = 2, minCount = 5,
