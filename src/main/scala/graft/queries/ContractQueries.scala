@@ -463,6 +463,16 @@ object ContractQueries {
       .orderBy("k")
   }
 
+  // ---- Q39 grouping sets (A-6, the general form rollup/cube desugar to) --
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q39_orders")
+    s.sql(
+      """select o_orderstatus, o_orderpriority, count(*) c, round(sum(o_totalprice),2) tp
+        |from graft_q39_orders
+        |group by grouping sets ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        |order by o_orderstatus nulls first, o_orderpriority nulls first""".stripMargin)
+  }
+
   // ---- Q36 union distinct (U-2) --------------------------------------------------
   def q36(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("k"))
@@ -484,5 +494,5 @@ object ContractQueries {
     "q27" -> (q27 _), "q29" -> (q29 _), "q31" -> (q31 _),
     "q32" -> (q32 _), "q33" -> (q33 _), "q34" -> (q34 _),
     "q35" -> (q35 _), "q36" -> (q36 _), "q37" -> (q37 _),
-    "q38" -> (q38 _))
+    "q38" -> (q38 _), "q39" -> (q39 _))
 }

@@ -222,6 +222,12 @@ object OracleSql {
         |from customer c left join orders o on c_custkey=o_custkey
         |group by c_custkey order by c_custkey limit 50""".stripMargin,
 
+    "q39" ->
+      """select o_orderstatus, o_orderpriority, count(*) c, round(sum(o_totalprice),2) tp
+        |from orders
+        |group by grouping sets ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        |order by o_orderstatus nulls first, o_orderpriority nulls first""".stripMargin,
+
     "q38" ->
       """select coalesce(a.ka, b.kb) k, a.ka is not null in_customer, b.kb is not null in_nation
         |from (select distinct c_nationkey ka from customer) a
