@@ -55,39 +55,49 @@ class Glove(
 
     // Stage 1: vocabulary (dense 0-based ids by count desc, word asc).
     val vocabDf = Vocabulary.build(documents, minCount, textCol)
-    val vocabRows = vocabDf.select("w", "id").as[(String, Long)].collect()
-    val vocab: Map[String, Int] = vocabRows.map { case (w, id) => (w, id.toInt - 1) }.toMap
-    val words: Array[String] = {
-      val arr = new Array[String](vocab.size)
-      vocab.foreach { case (w, i) => arr(i) = w }
-      arr
-    }
-    val v = vocab.size
+    val v = vocabDf.count().toInt
     require(v > 0, s"empty vocabulary (minCount=$minCount)")
-
-    // Stage 2: co-occurrence matrix, partitioned deterministically and
-    // sorted within partitions so local SGD order is reproducible.
-    // (Stage 3 of the canonical toolkit — `shuffle` — is subsumed by the
-    // hash repartition itself.)
-    val cooc: Dataset[Cooc] = Cooccurrence.matrix(documents, vocab, window, textCol)
-      .repartition(numPartitions, col("i"), col("j"))
-      .sortWithinPartitions("i", "j")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nnz = cooc.count() // materialize
 
     val useBlock = distributed.getOrElse(2L * v * (dim + 1) > 16_000_000L)
     if (useBlock) {
-      // Stage 4 (large V): block-partitioned join-exchange training —
-      // parameters never touch the driver.
+      // Large-V path: the vocabulary NEVER touches the driver — tokens
+      // are mapped to ids by join (Cooccurrence.matrixViaJoin) and
+      // parameters stay distributed (GloveBlockTrainer).
+      val vocab0 = vocabDf
+        .select(col("w"), (col("id") - 1).cast("int").as("id0"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val docsWithId = documents.withColumn("__gid", monotonically_increasing_id())
+      val cooc: Dataset[Cooc] = Cooccurrence
+        .matrixViaJoin(docsWithId, vocab0, window, "__gid", textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val trainer = new GloveBlockTrainer(dim, xMax, alpha, learningRate,
         iterations, numPartitions, seed)
       val (vecs, lossHistory) = trainer.train(cooc, v)
       cooc.unpersist()
-      val wordsDf = spark.createDataFrame(words.zipWithIndex.toSeq)
-        .toDF("word", "id")
-      val embeddings = wordsDf.join(vecs, "id").select("word", "id", "vec")
+      val embeddings = vocab0
+        .join(vecs, vocab0("id0") === vecs("id"))
+        .select(col("w").as("word"), col("id"), col("vec"))
+      vocab0.unpersist()
       new GloveModel(embeddings, dim, lossHistory)
     } else {
+      // Small-V path: broadcast vocabulary + flatMap kernel.
+      val vocabRows = vocabDf.select("w", "id").as[(String, Long)].collect()
+      val vocab: Map[String, Int] = vocabRows.map { case (w, id) => (w, id.toInt - 1) }.toMap
+      val words: Array[String] = {
+        val arr = new Array[String](vocab.size)
+        vocab.foreach { case (w, i) => arr(i) = w }
+        arr
+      }
+
+      // Stage 2: co-occurrence matrix, partitioned deterministically and
+      // sorted within partitions so local SGD order is reproducible.
+      // (Stage 3 of the canonical toolkit — `shuffle` — is subsumed by
+      // the hash repartition itself.)
+      val cooc: Dataset[Cooc] = Cooccurrence.matrix(documents, vocab, window, textCol)
+        .repartition(numPartitions, col("i"), col("j"))
+        .sortWithinPartitions("i", "j")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nnz = cooc.count() // materialize
       // Stage 4 (small V): broadcast + per-partition AdaGrad + delta merge.
       val trained = GloveTrainer.train(
         cooc, v, dim, xMax, alpha, learningRate, iterations, seed)

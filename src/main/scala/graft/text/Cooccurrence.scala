@@ -67,6 +67,54 @@ object Cooccurrence {
     * positions are re-measured. (Property-tested; documented deviation
     * candidates are noted in GloveSpec.)
     */
+  /** Id-space matrix with a DISTRIBUTED vocabulary (the large-V path):
+    * tokens join the vocab DataFrame (broadcast by Spark when small,
+    * shuffled when not — never collected to the driver), per-document
+    * sequences are rebuilt in original order with OOV removed, then the
+    * same O(n·w) kernel runs over id arrays. Output ≡ [[matrix]]
+    * (property-tested); use this when the vocab Map would not fit the
+    * driver (V ≳ tens of millions).
+    */
+  def matrixViaJoin(
+      documents: DataFrame,
+      vocab: DataFrame, // columns: w (string), id0 (int, 0-based)
+      window: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Dataset[Cooc] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val w = window
+    documents
+      .select(col(idCol).as("did"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .join(vocab.select(col("w"), col("id0")), "w")
+      .groupBy("did")
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("pos"), col("id0")))),
+        e => e.getField("id0")).as("ids"))
+      .select("ids")
+      .as[Seq[Int]]
+      .flatMap { ids =>
+        val n = ids.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[Cooc]
+        var i = 0
+        while (i < n) {
+          var d = 1
+          while (d <= w && i + d < n) {
+            val wt = 1.0 / d
+            out += Cooc(ids(i), ids(i + d), wt)
+            out += Cooc(ids(i + d), ids(i), wt)
+            d += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .groupByKey(c => (c.i, c.j))
+      .mapValues(_.x)
+      .reduceGroups(_ + _)
+      .map { case ((i, j), x) => Cooc(i, j, x) }
+  }
+
   def matrix(
       documents: DataFrame,
       vocab: Map[String, Int],

@@ -65,6 +65,24 @@ class CooccurrenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("join-based matrix (distributed vocab) equals broadcast-map matrix") {
+    val docs = randomCorpus(60, 13L).withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id"))
+    val vocab = Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3) // e..h are OOV
+    val vocabDf = spark.createDataFrame(
+      vocab.toSeq.map { case (w, i) => (w, i) }).toDF("w", "id0")
+    for (w <- Seq(2, 3)) {
+      val viaMap = Cooccurrence.matrix(docs, vocab, w).collect()
+        .map(c => (c.i, c.j) -> c.x).toMap
+      val viaJoin = Cooccurrence.matrixViaJoin(docs, vocabDf, w).collect()
+        .map(c => (c.i, c.j) -> c.x).toMap
+      assert(viaJoin.keySet == viaMap.keySet)
+      viaMap.foreach { case (k, x) =>
+        assert(math.abs(viaJoin(k) - x) < 1e-9, s"cell $k differs at w=$w")
+      }
+    }
+  }
+
   test("id-space matrix drops OOV and stays symmetric") {
     val docs = spark.createDataFrame(Seq(
       (0L, "a b oov a"), (1L, "b a b"))).toDF("doc_id", "text")
