@@ -110,6 +110,17 @@ object ExtensionQueries {
   def extSimPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.topSimilarPairs(t(s, dir, "embeddings"), limit = 50)
 
+  // IVF with nProbe = kCentroids is exhaustive, so this declared query
+  // must equal brute force exactly (shares ext_embed_topk's oracle);
+  // the approximate nProbe << kCentroids regime is recall-gated in
+  // IvfSpec.
+  def extIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ivf.topK(emb, emb.filter(col("vec_id") < 5), k = 5,
+        kCentroids = 16, nProbe = 16, iters = 2)
+      .orderBy("probe_id", "rank")
+  }
+
   // ---- text analysis ------------------------------------------------------
   def extLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -156,6 +167,7 @@ object ExtensionQueries {
     "ext_ngram_neardup" -> (extNgramNearDup _),
     "ext_embed_topk" -> (extEmbedTopK _),
     "ext_sim_pairs" -> (extSimPairs _),
+    "ext_ivf_topk" -> (extIvfTopK _),
     "ext_langid" -> (extLangId _),
     "ext_quality" -> (extQuality _),
     "ext_tokcount" -> (extTokCount _),
@@ -165,6 +177,18 @@ object ExtensionQueries {
   // ---------------------------------------------------------------- oracle
 
   private val q24Sql = graft.queries.OracleSql.all("q24")
+
+  private val embedTopKSql: String =
+    """with e as (select vec_id, cast(embedding as double[]) v from embeddings),
+      |p as (select vec_id probe_id, v pv from e where vec_id < 5),
+      |sims as (select p.probe_id, e.vec_id,
+      |  round(list_dot_product(e.v,p.pv)
+      |    /(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(p.pv,p.pv))),4) sim
+      |  from e cross join p where e.vec_id <> p.probe_id),
+      |ranked as (select probe_id, vec_id, sim,
+      |  row_number() over (partition by probe_id order by sim desc, vec_id) rank from sims)
+      |select probe_id, vec_id, sim, rank from ranked
+      |where rank <= 5 order by probe_id, rank""".stripMargin
 
   private def langScoreSql(markers: Seq[String]): String =
     markers.map { m =>
@@ -213,17 +237,7 @@ object ExtensionQueries {
         |  and cast(len(list_intersect(a.g,b.g)) as double)/len(list_distinct(list_concat(a.g,b.g))) >= 0.4
         |order by jac3 desc, da, db limit 50""".stripMargin,
 
-    "ext_embed_topk" ->
-      """with e as (select vec_id, cast(embedding as double[]) v from embeddings),
-        |p as (select vec_id probe_id, v pv from e where vec_id < 5),
-        |sims as (select p.probe_id, e.vec_id,
-        |  round(list_dot_product(e.v,p.pv)
-        |    /(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(p.pv,p.pv))),4) sim
-        |  from e cross join p where e.vec_id <> p.probe_id),
-        |ranked as (select probe_id, vec_id, sim,
-        |  row_number() over (partition by probe_id order by sim desc, vec_id) rank from sims)
-        |select probe_id, vec_id, sim, rank from ranked
-        |where rank <= 5 order by probe_id, rank""".stripMargin,
+    "ext_embed_topk" -> embedTopKSql,
 
     "ext_sim_pairs" ->
       """with e as (select vec_id, cast(embedding as double[]) v from embeddings)
@@ -232,6 +246,8 @@ object ExtensionQueries {
         |    /(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),4) sim
         |from e a join e b on a.vec_id < b.vec_id
         |order by sim desc, id_a, id_b limit 50""".stripMargin,
+
+    "ext_ivf_topk" -> embedTopKSql,
 
     "ext_langid" -> langIdSql,
 

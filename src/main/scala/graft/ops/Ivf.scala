@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * cluster-structure counterpart to the hyperplane-LSH path in
+  * [[Similarity]]:
+  *
+  *  - a coarse quantizer (k-means, deterministic seeded init) is
+  *    trained with DataFrame jobs only: assignment is a broadcast
+  *    cross-join + `min_by`, centroid update is a per-(cluster,
+  *    dimension) average — constant plan size in `dim`, no driver-side
+  *    math on the corpus;
+  *  - every corpus vector joins its nearest centroid id (the inverted
+  *    lists — in storage terms, a partition/bucket column to cluster
+  *    the table by);
+  *  - a probe scans only its `nProbe` closest lists, so the search join
+  *    is an equi-join on centroid id instead of a cross product —
+  *    at scale the lists are Parquet partitions and the probe prunes
+  *    them.
+  *
+  * Approximate by design: recall is property-tested on planted
+  * clusters; `Similarity.bruteForceTopK` stays the exactness oracle.
+  */
+object Ivf {
+
+  private def dist2(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.euclideanSq(a, b)
+
+  /** Deterministic k-means over `embedding`: init = the k vectors with
+    * smallest xxhash64(vec_id) (a seeded pseudo-random sample), then
+    * `iters` Lloyd steps. Returns (cid INT, centroid ARRAY<DOUBLE>).
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1).as("cid"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          v => v.cast("double")).as("centroid"))
+      .cache()
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(corpus, centroids)
+      val next = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+        .cache()
+      next.count()
+      centroids.unpersist()
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast centroids, `min_by` over
+    * squared distance. Output: corpus columns + cid.
+    */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .groupBy("vec_id")
+      .agg(
+        min_by(col("cid"), struct(dist2(col("embedding"), col("centroid")), col("cid")))
+          .as("cid"),
+        first("embedding").as("embedding"))
+
+  /** Approximate cosine top-k: each probe searches its nProbe nearest
+    * centroid lists only.
+    */
+  def topK(corpus: DataFrame, probes: DataFrame, k: Int, kCentroids: Int,
+      nProbe: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val centroids = trainCentroids(corpus, kCentroids, iters, seed)
+    val lists = assign(corpus, centroids)
+
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("d"), asc("cid"))
+    val probeLists = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("probe_vec"), col("cid"),
+        dist2(col("probe_vec"), col("centroid")).as("d"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("probe_id", "probe_vec", "cid")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("sim"), asc("vec_id"))
+    probeLists.join(lists, "cid")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("probe_vec")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}
