@@ -38,7 +38,17 @@ object StreamSmoke {
     println(s"STREAM session users=$users")
     spark.table("smoke_sessions").orderBy("user_id").show(5)
 
-    assert(windows > 0 && users > 0)
+    // transformWithState variant (needs the RocksDB state store)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q3 = Streams.twsSessionCounts(Streams.readEvents(spark, dir.toString))
+      .toDF().writeStream.format("memory").queryName("smoke_tws")
+      .outputMode("update").start()
+    q3.processAllAvailable(); q3.stop()
+    val twsUsers = spark.table("smoke_tws").count()
+    println(s"STREAM tws session users=$twsUsers")
+
+    assert(windows > 0 && users > 0 && twsUsers == users)
     spark.stop()
   }
 }

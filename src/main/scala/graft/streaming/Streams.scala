@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the `events` table (SURVEY §2.10,
@@ -93,6 +93,46 @@ object Streams {
     * the replay spec feeds batches in time order, which is also the
     * production layout for backfills.)
     */
+  /** ST-7b: the same sessionization on the Spark 4 `transformWithState`
+    * API (StatefulProcessor + typed ValueState) — the successor to
+    * (flat)MapGroupsWithState; replay-equivalent to Q25 like the
+    * flatMapGroupsWithState variant above.
+    */
+  class SessionProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long), UserSessOut] {
+    @transient private var state: ValueState[UserSessState] = _
+    private val gapMs = 30L * 60 * 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserSessState](
+        "session", Encoders.product[UserSessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[UserSessOut] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var st = if (state.exists()) state.get() else UserSessState(Long.MinValue, 0L, 0L)
+      sorted.foreach { case (_, tms, _) =>
+        val newSession = st.lastTs == Long.MinValue || tms - st.lastTs > gapMs
+        st = UserSessState(tms,
+          st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+      }
+      state.update(st)
+      Iterator.single(UserSessOut(key, st.nSessions, st.nEvents))
+    }
+  }
+
+  /** Sessionization via transformWithState (ST-7b). */
+  def twsSessionCounts(events: DataFrame): Dataset[UserSessOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def statefulSessionCounts(events: DataFrame): Dataset[UserSessOut] = {
     val spark = events.sparkSession
     import spark.implicits._

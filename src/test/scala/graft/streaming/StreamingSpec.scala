@@ -175,4 +175,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val expected = graft.queries.ContractQueries.q25(spark, sf0001)
     assert(canon(got) == canon(expected))
   }
+
+  test("ST-7b transformWithState sessionization equals Q25") {
+    // transformWithState needs a multi-column-family state store
+    // (RocksDB); the default HDFS-backed provider refuses it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.twsSessionCounts(Streams.readEvents(spark, eventsDir))
+      val got = replay(stream.toDF(), "update")
+        .orderBy("user_id").limit(50)
+      val expected = graft.queries.ContractQueries.q25(spark, sf0001)
+      assert(canon(got) == canon(expected))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
