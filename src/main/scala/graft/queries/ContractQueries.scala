@@ -315,6 +315,19 @@ object ContractQueries {
       .limit(50)
   }
 
+  // ---- Q20 production formulation: sort-merge as-of (ops.AsOf) ----------
+  // Same result as q20 (shared oracle) but linear per key: union + sort
+  // + carry-forward instead of the inequality pair join.
+  def q20Merge(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    graft.ops.AsOf.backward(e, "user_id", "ts",
+        o, "o_custkey", "o_orderdate", "o_orderkey", Seq("o_orderkey"))
+      .select("event_id", "user_id", "o_orderkey")
+      .orderBy("event_id")
+      .limit(50)
+  }
+
   // ---- Q21 cube (A-5) ---------------------------------------------------------
   def q21(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -488,7 +501,7 @@ object ContractQueries {
     "q11" -> (q11 _), "q12" -> (q12 _), "q13" -> (q13 _),
     "q13b" -> (q13b _), "q13c" -> (q13c _), "q14" -> (q14 _),
     "q15" -> (q15 _), "q16" -> (q16 _), "q17" -> (q17 _),
-    "q18" -> (q18 _), "q19" -> (q19 _), "q20" -> (q20 _),
+    "q18" -> (q18 _), "q19" -> (q19 _), "q20" -> (q20 _), "q20_merge" -> (q20Merge _),
     "q21" -> (q21 _), "q24" -> (q24 _), "q24_join" -> (q24Join _),
     "q25" -> (q25 _),
     "q27" -> (q27 _), "q29" -> (q29 _), "q31" -> (q31 _),

@@ -150,6 +150,13 @@ object OracleSql {
         |  from events e join orders o on o.o_custkey = e.user_id and o.o_orderdate <= e.ts
         |) where rn=1 order by event_id limit 50""".stripMargin,
 
+    "q20_merge" ->
+      """select event_id, user_id, o_orderkey from (
+        |  select e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() over (partition by e.event_id order by o.o_orderdate desc, o.o_orderkey desc) rn
+        |  from events e join orders o on o.o_custkey = e.user_id and o.o_orderdate <= e.ts
+        |) where rn=1 order by event_id limit 50""".stripMargin,
+
     "q21" ->
       """select o_orderstatus, o_orderpriority, count(*) c, round(sum(o_totalprice),2) s
         |from orders group by cube(o_orderstatus, o_orderpriority)
