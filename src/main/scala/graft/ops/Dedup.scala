@@ -95,7 +95,11 @@ object Dedup {
     */
   def minhashCandidatesFromSets(docs: DataFrame, idCol: String, setCol: Column,
       bands: Int, rowsPerBand: Int): DataFrame = {
-    val withSet = docs.select(col(idCol).as("id"), setCol.as("set_"))
+    // pre-hash each element to a LONG once — the numHashes minhash
+    // functions then mix an 8-byte value instead of re-hashing the
+    // (possibly long) string numHashes times per element
+    val withSet = docs.select(col(idCol).as("id"),
+        transform(setCol, e => xxhash64(e)).as("set_"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandedExpr = transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
