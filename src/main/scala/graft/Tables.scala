@@ -24,8 +24,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Resolved-relation cache, keyed by (session, dir, table). A catalog
+  // resolves a relation once (file listing + footer schema) and reuses the
+  // plan; re-running spark.read.parquet per query repeats that I/O on
+  // every call — at 100 TB the listing alone is a real cost. DataFrames
+  // are immutable plans, so sharing is safe; the cache holds a snapshot
+  // of the file listing (same semantics as a registered view).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** Read one fixture table from `dir` (e.g. /root/testdata/sf0.01). */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
