@@ -121,6 +121,34 @@ object ExtensionQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // ---- ANN via hyperplane LSH (E-7) --------------------------------------
+  // Approximate by construction (multi-probe segment join, Hamming
+  // radius 3 over 16-bit sign codes), so NO DuckDB oracle — the driver
+  // records the rows-only check; recall vs brute force is spec-gated in
+  // SimilaritySpec on planted clusters.
+  def extAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), dim = 64, k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  // ---- skew mitigation (E-13) --------------------------------------------
+  // Salted equi-join (orders replicated over 8 salt buckets so a hot
+  // orderkey spreads across reducers) feeding a two-level salted
+  // aggregation. Both rewrites are semantics-preserving, so the result
+  // hash-matches the plain join+groupBy oracle — that equivalence IS the
+  // contract that makes the salted path safe at 100 TB Zipfian skew.
+  def extSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    val joined = Skew.saltedJoin(li, ord, "o_orderkey", factor = 8)
+    Skew.saltedSum(joined, "o_orderstatus", "l_extendedprice", factor = 8)
+      .select(col("o_orderstatus"),
+        round(col("sum_l_extendedprice"), 2).as("rev"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---- text analysis ------------------------------------------------------
   def extLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -168,6 +196,8 @@ object ExtensionQueries {
     "ext_embed_topk" -> (extEmbedTopK _),
     "ext_sim_pairs" -> (extSimPairs _),
     "ext_ivf_topk" -> (extIvfTopK _),
+    "ext_ann_topk" -> (extAnnTopK _),
+    "ext_salted_join" -> (extSaltedJoin _),
     "ext_langid" -> (extLangId _),
     "ext_quality" -> (extQuality _),
     "ext_tokcount" -> (extTokCount _),
@@ -248,6 +278,12 @@ object ExtensionQueries {
         |order by sim desc, id_a, id_b limit 50""".stripMargin,
 
     "ext_ivf_topk" -> embedTopKSql,
+    // ext_ann_topk has NO oracle (approximate; see the query's comment).
+
+    "ext_salted_join" ->
+      """select o_orderstatus, round(sum(l_extendedprice),2) rev
+        |from lineitem join orders on l_orderkey=o_orderkey
+        |group by o_orderstatus order by o_orderstatus""".stripMargin,
 
     "ext_langid" -> langIdSql,
 

@@ -23,7 +23,7 @@ class ContractQueriesSpec extends AnyFunSuite with SparkFixture {
   test("every query has oracle SQL or is explicitly non-SQL") {
     // Approximate-by-design ops whose outputs depend on engine-internal
     // hashes get the driver's rows-only check instead of a DuckDB oracle.
-    val rowsOnly = Set("ext_simhash_neardup")
+    val rowsOnly = Set("ext_simhash_neardup", "ext_ann_topk")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
