@@ -115,10 +115,30 @@ object GraftFunctions {
   val cosineSimInfo: ExpressionInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
 
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"hyperplane_code: $what must be a literal")
+    e.eval(null).asInstanceOf[Number].intValue()
+  }
+
+  val hyperplaneCodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 4,
+      s"hyperplane_code expects (vec, dim, bits, seed), got ${children.length} args")
+    HyperplaneCode(children(0), litInt(children(1), "dim"),
+      litInt(children(2), "bits"),
+      { val s = children(3); require(s.foldable, "hyperplane_code: seed must be a literal")
+        s.eval(null).asInstanceOf[Number].longValue() })
+  }
+
+  val hyperplaneCodeInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[HyperplaneCode].getCanonicalName, "hyperplane_code")
+
   /** Imperative registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_code", hyperplaneCodeBuilder, "built-in")
+  }
 }
 
 /** Session-extension hook: set
@@ -126,7 +146,10 @@ object GraftFunctions {
   * `cosine_sim` is available in every session, SQL included.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((new FunctionIdentifier("cosine_sim"),
       GraftFunctions.cosineSimInfo, GraftFunctions.cosineSimBuilder))
+    ext.injectFunction((new FunctionIdentifier("hyperplane_code"),
+      GraftFunctions.hyperplaneCodeInfo, GraftFunctions.hyperplaneCodeBuilder))
+  }
 }

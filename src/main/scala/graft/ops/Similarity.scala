@@ -65,9 +65,21 @@ object Similarity {
   /** Deterministic `bits`-bit random-hyperplane code for a vector.
     * Hyperplane h, dimension d has pseudo-random weight derived from
     * xxhash64(seed, h, d), mapped to [-1, 1]. Sign of the dot product
-    * sets bit h. Pure projection — no shuffle, codegen-friendly.
+    * sets bit h. Pure projection — no shuffle.
+    *
+    * Production form: the native fused [[graft.functions.HyperplaneCode]]
+    * expression (one codegen'd loop/row). The composed built-in
+    * formulation below is kept as the spec oracle; the two are
+    * property-tested bit-equal.
     */
   def hyperplaneCode(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("hyperplane_code", vec, lit(dim), lit(bits), lit(seed))
+  }
+
+  /** Spec formulation of [[hyperplaneCode]] on stock built-ins only. */
+  def hyperplaneCodeComposed(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
     val planes = (0 until bits).map { h =>
       val dotExpr = (0 until dim).map { d =>
         // xxhash64 -> [-1,1] weight; fixed given (seed, h, d)
@@ -88,22 +100,31 @@ object Similarity {
       bits: Int = 16, radius: Int = 3, seed: Long = 42L): DataFrame = {
     val nSeg = radius + 1
     val segBits = bits / nSeg
-    def coded(df: DataFrame, idAs: String, vecAs: String) = df
-      .select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+    // Candidate generation carries ids + codes ONLY — the bucket join and
+    // the distinct never shuffle the vectors themselves (at scale the
+    // wide embedding arrays dominate shuffle volume; they are joined
+    // back exactly once per surviving candidate pair below).
+    def coded(df: DataFrame, idAs: String) = df
+      .select(col("vec_id").as(idAs),
         hyperplaneCode(col("embedding"), dim, bits, seed).as(s"code_$idAs"))
-      .select(col(idAs), col(vecAs), col(s"code_$idAs"),
+      .select(col(idAs), col(s"code_$idAs"),
         explode(transform(sequence(lit(0), lit(nSeg - 1)),
           s => struct(s.as("seg"),
             call_function("shiftright", col(s"code_$idAs"), (s * segBits).cast("int"))
               .bitwiseAND(lit((1L << segBits) - 1)).as("sv")))).as("x"))
-      .select(col(idAs), col(vecAs), col(s"code_$idAs"), col("x.seg"), col("x.sv"))
-    val c = coded(corpus, "vec_id", "embedding").as("c")
-    val p = coded(probes, "probe_id", "probe_vec").as("p")
-    c.join(p, col("c.seg") === col("p.seg") && col("c.sv") === col("p.sv") &&
+      .select(col(idAs), col(s"code_$idAs"), col("x.seg"), col("x.sv"))
+    val c = coded(corpus, "vec_id").as("c")
+    val p = coded(probes, "probe_id").as("p")
+    val ids = c.join(p, col("c.seg") === col("p.seg") && col("c.sv") === col("p.sv") &&
         col("c.vec_id") =!= col("p.probe_id"))
       .filter(bit_count(col("c.code_vec_id").bitwiseXOR(col("p.code_probe_id"))) <= radius)
-      .select(col("p.probe_id"), col("c.vec_id"), col("c.embedding"), col("p.probe_vec"))
+      .select(col("p.probe_id"), col("c.vec_id"))
       .distinct()
+    ids
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec")),
+        "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("probe_vec"))
   }
 
   /** Approximate cosine top-k: rank only the LSH candidate set. */

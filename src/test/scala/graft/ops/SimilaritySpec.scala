@@ -56,4 +56,13 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val b = emb.select(Similarity.hyperplaneCode(col("embedding"), 64, 16)).collect()
     assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
   }
+
+  test("native hyperplane_code expression is bit-equal to the composed spec form") {
+    val rows = emb.orderBy("vec_id").select(
+      Similarity.hyperplaneCode(col("embedding"), 64, 16).as("native"),
+      Similarity.hyperplaneCodeComposed(col("embedding"), 64, 16).as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
