@@ -132,12 +132,34 @@ object GraftFunctions {
   val hyperplaneCodeInfo: ExpressionInfo = new ExpressionInfo(
     classOf[HyperplaneCode].getCanonicalName, "hyperplane_code")
 
+  val minhashSignatureBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"minhash_signature expects (array, numHashes), got ${children.length} args")
+    MinHashSignature(children(0), litInt(children(1), "numHashes"))
+  }
+
+  val minhashSignatureInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[MinHashSignature].getCanonicalName, "minhash_signature")
+
+  val sortedLongJaccardBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"sorted_long_jaccard expects 2 args, got ${children.length}")
+    SortedLongJaccard(children(0), children(1))
+  }
+
+  val sortedLongJaccardInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SortedLongJaccard].getCanonicalName, "sorted_long_jaccard")
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineSimBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_code", hyperplaneCodeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", minhashSignatureBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_long_jaccard", sortedLongJaccardBuilder, "built-in")
   }
 }
 
@@ -151,5 +173,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.cosineSimInfo, GraftFunctions.cosineSimBuilder))
     ext.injectFunction((new FunctionIdentifier("hyperplane_code"),
       GraftFunctions.hyperplaneCodeInfo, GraftFunctions.hyperplaneCodeBuilder))
+    ext.injectFunction((new FunctionIdentifier("minhash_signature"),
+      GraftFunctions.minhashSignatureInfo, GraftFunctions.minhashSignatureBuilder))
+    ext.injectFunction((new FunctionIdentifier("sorted_long_jaccard"),
+      GraftFunctions.sortedLongJaccardInfo, GraftFunctions.sortedLongJaccardBuilder))
   }
 }

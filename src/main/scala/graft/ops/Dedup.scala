@@ -84,29 +84,37 @@ object Dedup {
   /** Same banding over an arbitrary element-set column (token sets,
     * shingle sets, …).
     *
-    * Two performance rules learned from a measured 100× blowup at sf0.1:
-    *  - the (id, set) projection is persisted before banding. Without
-    *    the barrier, CollapseProject inlines the set-building expression
-    *    into every hash lambda, recomputing it numHashes times per doc
-    *    (and once per join side);
-    *  - each band hashes its OWN rowsPerBand minhash values directly.
-    *    The slice-of-full-signature formulation re-evaluates the entire
-    *    signature expression once per band under the same inlining.
+    * Performance shape (each rule earned by a measured blowup at sf0.1):
+    *  - each element is pre-hashed to a LONG once, so the numHashes
+    *    minhash functions mix an 8-byte value instead of re-hashing the
+    *    (possibly long) string numHashes times per element;
+    *  - the full signature is computed by the native codegen'd
+    *    minhash_signature expression (bit-equal to the composed
+    *    transform/array_min form — property-tested), not numHashes
+    *    interpreted HOF lambdas per document;
+    *  - the (id, signature) projection is persisted before banding —
+    *    the barrier stops CollapseProject from inlining the signature
+    *    expression into every band (and once more per join side);
+    *  - empty sets are dropped pre-banding: they can never pass any
+    *    Jaccard >= tau > 0 recheck, and all-empty buckets would
+    *    otherwise pair every empty doc with every other.
     */
   def minhashCandidatesFromSets(docs: DataFrame, idCol: String, setCol: Column,
       bands: Int, rowsPerBand: Int): DataFrame = {
-    // pre-hash each element to a LONG once — the numHashes minhash
-    // functions then mix an 8-byte value instead of re-hashing the
-    // (possibly long) string numHashes times per element
-    val withSet = docs.select(col(idCol).as("id"),
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val withSig = docs.select(col(idCol).as("id"),
         transform(setCol, e => xxhash64(e)).as("set_"))
+      .filter(size(col("set_")) > 0)
+      .select(col("id"), call_function("minhash_signature",
+        col("set_"), lit(bands * rowsPerBand)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band b hashes its own rowsPerBand signature slots — cheap
+    // element_at reads against the cached signature
     val bandedExpr = transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
         xxhash64((0 until rowsPerBand).map(r0 =>
-          array_min(transform(col("set_"),
-            t => xxhash64(b * rowsPerBand + lit(r0), t)))): _*).as("bh")))
-    val banded = withSet
+          element_at(col("sig"), b * rowsPerBand + lit(r0) + 1)): _*).as("bh")))
+    val banded = withSig
       .select(col("id"), explode(bandedExpr).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
     val a = banded.as("a"); val b = banded.as("b")
@@ -154,19 +162,26 @@ object Dedup {
     */
   def minhashNearDupPairsFromSets(docs: DataFrame, idCol: String, setCol: Column,
       threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // hset: the set's elements hashed to longs and re-sorted — the
+    // recheck below runs on these via the native merge-walk
+    // sorted_long_jaccard (equal to string-set Jaccard, property-tested;
+    // string array_intersect/array_union over millions of candidate
+    // pairs was the measured recheck bottleneck at sf0.1).
     val groups = docs
       .select(col(idCol).as("id"), sort_array(setCol).as("set_"))
       .groupBy("set_")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("gid", element_at(col("ids"), 1))
+      .withColumn("hset", sort_array(transform(col("set_"), e => xxhash64(e))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val setPairs = minhashCandidatesFromSets(
         groups.select(col("gid"), col("set_")), "gid", col("set_"),
         bands, rowsPerBand)
-      .join(groups.select(col("gid").as("id_a"), col("set_").as("sa")), "id_a")
-      .join(groups.select(col("gid").as("id_b"), col("set_").as("sb")), "id_b")
-      .withColumn("jac", jaccard(col("sa"), col("sb")))
+      .join(groups.select(col("gid").as("id_a"), col("hset").as("sa")), "id_a")
+      .join(groups.select(col("gid").as("id_b"), col("hset").as("sb")), "id_b")
+      .withColumn("jac", call_function("sorted_long_jaccard", col("sa"), col("sb")))
       .filter(col("jac") >= threshold)
       .select(col("id_a").as("ga"), col("id_b").as("gb"), col("jac"))
 

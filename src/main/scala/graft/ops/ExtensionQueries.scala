@@ -29,13 +29,16 @@ object ExtensionQueries {
       .limit(50)
 
   // ---- Q24-equivalent output from approximate candidates + recheck -------
+  // Recheck Jaccard runs on hashed sorted sets via the native merge-walk
+  // sorted_long_jaccard (≡ string-set Jaccard, property-tested).
   private def rechecked(docs: DataFrame, cands: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sets = docs.select(
       col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("s"),
+      sort_array(transform(array_distinct(split(col("text"), " ")),
+        e => xxhash64(e))).as("s"),
       size(split(col("text"), " ")).as("n"))
-    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb")))
+    val jac = call_function("sorted_long_jaccard", col("sa"), col("sb"))
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa"), col("n").as("na")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb"), col("n").as("nb")), "id_b")
@@ -82,17 +85,21 @@ object ExtensionQueries {
   // hash-matching the all-pairs oracle. 96x2 bands put the s-curve
   // threshold at ~0.10 — recall at tau=0.4 is 1-(1-0.16)^96 ~ 1-6e-8.
   def extNgramNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val d = t(s, dir, "documents").select(
       col("doc_id"),
       array_distinct(Dedup.shingles(col("text"), 3)).as("g"),
       size(split(col("text"), " ")).as("n"))
     val cands = Dedup.minhashCandidatesFromSets(d, "doc_id", col("g"),
       bands = 96, rowsPerBand = 2)
-    val jac = size(array_intersect(col("ga"), col("gb"))).cast("double") /
-      size(array_union(col("ga"), col("gb")))
+    // hashed-sorted shingle sets + native merge-walk Jaccard for the
+    // recheck (≡ the string-set formulation the oracle runs)
+    val hd = d.select(col("doc_id"), col("n"),
+      sort_array(transform(col("g"), e => xxhash64(e))).as("hg"))
+    val jac = call_function("sorted_long_jaccard", col("ga"), col("gb"))
     cands
-      .join(d.select(col("doc_id").as("id_a"), col("g").as("ga"), col("n").as("na")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("g").as("gb"), col("n").as("nb")), "id_b")
+      .join(hd.select(col("doc_id").as("id_a"), col("hg").as("ga"), col("n").as("na")), "id_a")
+      .join(hd.select(col("doc_id").as("id_b"), col("hg").as("gb"), col("n").as("nb")), "id_b")
       .filter(abs(col("na") - col("nb")) <= 1 &&
         size(col("ga")) > 0 && size(col("gb")) > 0 && jac >= 0.4)
       .select(col("id_a").as("da"), col("id_b").as("db"), round(jac, 4).as("jac3"))

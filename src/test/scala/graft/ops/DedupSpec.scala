@@ -66,6 +66,38 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"missed: ${(exactHalf -- found).take(5)}...; spurious: ${(found -- exactHalf).take(5)}")
   }
 
+  test("native minhash_signature is bit-equal to the composed HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = docs.select(col("doc_id"),
+      transform(array_distinct(split(col("text"), " ")), e => xxhash64(e)).as("set_"))
+    val rows = hashed.orderBy("doc_id").select(
+      call_function("minhash_signature", col("set_"), lit(32)).as("native"),
+      transform(sequence(lit(0), lit(31)),
+        i => array_min(transform(col("set_"), t => xxhash64(i, t)))).as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("native sorted_long_jaccard equals string-set Jaccard on all doc pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs.limit(60).select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("s"),
+      sort_array(transform(array_distinct(split(col("text"), " ")),
+        e => xxhash64(e))).as("hs"))
+    val a = d.as("a"); val b = d.as("b")
+    val strJac = size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+      size(array_union(col("a.s"), col("b.s")))
+    val rows = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(strJac.as("sj"),
+        call_function("sorted_long_jaccard", col("a.hs"), col("b.hs")).as("hj"))
+      .collect()
+    assert(rows.length == 60 * 59 / 2)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("SimHash: identical texts collide; precision 1.0 after recheck") {
     val sh = Dedup.simhash(docs.limit(20).union(
       docs.limit(20).withColumn("doc_id", col("doc_id") + 100000)))
