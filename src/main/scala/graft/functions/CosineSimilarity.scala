@@ -150,6 +150,14 @@ object GraftFunctions {
   val sortedLongJaccardInfo: ExpressionInfo = new ExpressionInfo(
     classOf[SortedLongJaccard].getCanonicalName, "sorted_long_jaccard")
 
+  val simhash64Builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"simhash64 expects 1 arg, got ${children.length}")
+    SimHash64(children(0))
+  }
+
+  val simhash64Info: ExpressionInfo = new ExpressionInfo(
+    classOf[SimHash64].getCanonicalName, "simhash64")
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -160,6 +168,8 @@ object GraftFunctions {
       "minhash_signature", minhashSignatureBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_long_jaccard", sortedLongJaccardBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", simhash64Builder, "built-in")
   }
 }
 
@@ -177,5 +187,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.minhashSignatureInfo, GraftFunctions.minhashSignatureBuilder))
     ext.injectFunction((new FunctionIdentifier("sorted_long_jaccard"),
       GraftFunctions.sortedLongJaccardInfo, GraftFunctions.sortedLongJaccardBuilder))
+    ext.injectFunction((new FunctionIdentifier("simhash64"),
+      GraftFunctions.simhash64Info, GraftFunctions.simhash64Builder))
   }
 }

@@ -229,6 +229,23 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** Production SimHash: same fingerprints as [[simhash]] (bit-equality
+    * property-tested), computed by the native codegen'd simhash64
+    * expression as a pure per-row projection — NO shuffle, where the
+    * relational spec formulation above shuffles docs×terms×64 rows
+    * twice. Docs with no tokens are dropped, matching the relational
+    * form (they produce no tf rows).
+    */
+  def simhashNative(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), call_function("simhash64", col("toks")).as("simhash"))
+  }
+
   /** Pairs whose SimHash Hamming distance ≤ `maxHamming`, with exact
     * Jaccard attached for rechecking. The pair join here is all-pairs for
     * spec clarity; the scale path splits the 64-bit key into

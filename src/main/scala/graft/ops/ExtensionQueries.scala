@@ -74,7 +74,7 @@ object ExtensionQueries {
   def extSimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val cands = Dedup.simhashCandidatesSegmented(
-        Dedup.simhash(docs), maxHamming = 12)
+        Dedup.simhashNative(docs), maxHamming = 12)
       .select(col("id_a"), col("id_b"))
     rechecked(docs, cands)
   }

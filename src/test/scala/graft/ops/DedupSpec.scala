@@ -98,6 +98,14 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("native simhash64 is bit-equal to the relational tf-weighted formulation") {
+    val rel = Dedup.simhash(docs).withColumnRenamed("simhash", "rel_sh")
+    val nat = Dedup.simhashNative(docs).withColumnRenamed("simhash", "nat_sh")
+    val joined = rel.join(nat, "doc_id").cache()
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("rel_sh") =!= col("nat_sh")).count() == 0)
+  }
+
   test("SimHash: identical texts collide; precision 1.0 after recheck") {
     val sh = Dedup.simhash(docs.limit(20).union(
       docs.limit(20).withColumn("doc_id", col("doc_id") + 100000)))
