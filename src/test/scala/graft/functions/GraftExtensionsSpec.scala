@@ -32,6 +32,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r = spark.sql(
         "select cosine_sim(array(3.0D,4.0D), array(3.0D,4.0D)) s").collect()(0)
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      // every injected native function resolves + evaluates in SQL
+      val r2 = spark.sql(
+        """select hyperplane_code(array(1.0F, -1.0F), 2, 4, 42L) hc,
+          |       minhash_signature(array(7L, 8L, 9L), 4) ms,
+          |       sorted_long_jaccard(array(1L,2L,3L), array(2L,3L,4L)) j,
+          |       simhash64(array('a','b','a')) sh""".stripMargin).collect()(0)
+      assert(!r2.isNullAt(0))
+      assert(r2.getSeq[Long](1).length == 4)
+      assert(math.abs(r2.getDouble(2) - 0.5) < 1e-12)
+      assert(!r2.isNullAt(3))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
