@@ -351,11 +351,16 @@ object ContractQueries {
       col("doc_id"),
       array_distinct(split(col("text"), " ")).as("s"),
       size(split(col("text"), " ")).as("n"))
+    // The |n_a - n_b| <= 1 band is expressed as an equi-join on length
+    // buckets (side b is exploded to keys n-1, n, n+1, which are
+    // distinct, so each qualifying pair matches exactly once). A raw
+    // band condition has no equi-conjunct and plans as a nested-loop
+    // cross product — 175 s vs ~15 s at sf0.1 for identical output.
     val a = d.as("a")
-    val b = d.as("b")
+    val b = d.withColumn("nk", explode(array(col("n") - 1, col("n"), col("n") + 1))).as("b")
     val jac = size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
       size(array_union(col("a.s"), col("b.s")))
-    a.join(b, col("a.doc_id") < col("b.doc_id") && abs(col("a.n") - col("b.n")) <= 1)
+    a.join(b, col("a.n") === col("b.nk") && col("a.doc_id") < col("b.doc_id"))
       .filter(jac >= 0.5 && (col("a.n") >= 30 || col("b.n") >= 30))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), round(jac, 4).as("jac"))
       .orderBy(desc("jac"), asc("da"), asc("db"))
