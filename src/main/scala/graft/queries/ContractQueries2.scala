@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 contract queries: operator families present in Spark (and in
+  * scope for SURVEY §2) that round 1 left without a DuckDB oracle —
+  * pivot/unpivot, lateral joins, the remaining window functions,
+  * ordered-arg / filtered aggregates, conditional & bitwise scalar
+  * functions, regexp extraction, array/higher-order-lambda extras,
+  * SQL-JSON keys, deterministic hash sampling, null-preserving
+  * generators, and calendar arithmetic.
+  *
+  * Same determinism discipline as ContractQueries (SURVEY §5.2): doubles
+  * rounded in-query, int outputs aligned to BIGINT where DuckDB widens,
+  * total ORDER BY on every row-level result, NULLS FIRST pinned
+  * explicitly on the oracle side (DuckDB defaults to NULLS LAST).
+  */
+object ContractQueries2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- Q40 pivot (A-12): wide conditional aggregation --------------------
+  // groupBy().pivot() with an explicit value list — no extra pass to
+  // discover pivot values, and the plan is a single hash aggregate.
+  def q40Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+
+  // ---- Q41 unpivot / melt (A-13): wide → long ----------------------------
+  def q41Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "m", "v")
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+        round(col("v"), 2).as("v"))
+      .orderBy("l_orderkey", "l_linenumber", "m", "v")
+      .limit(60)
+
+  // ---- Q42 window function completion (W-8): first/last/nth value,
+  // percent_rank, cume_dist — default frame (range unbounded..current),
+  // which DuckDB shares, so no explicit frame needed on either side.
+  def q42WinExtra(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first("o_orderkey").over(w).as("fv"),
+        last("o_orderkey").over(w).as("lv"),
+        nth_value(col("o_orderkey"), 2).over(w).as("nv"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(100)
+  }
+
+  // ---- Q43 conditional / null-handling scalars (P-4) ---------------------
+  def q43Cond(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"),
+        coalesce(expr("nullif(o_orderstatus,'O')"), lit("X")).as("st"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("g"),
+        least(col("o_totalprice"), lit(100000.0)).as("l"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy("o_orderkey")
+      .limit(50)
+
+  // ---- Q44 bitwise ops (F-9) ---------------------------------------------
+  def q44Bits(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("ba"),
+        col("o_orderkey").bitwiseOR(lit(7L)).as("bo"),
+        col("o_orderkey").bitwiseXOR(lit(15L)).as("bx"),
+        shiftleft(col("o_orderkey"), 2).as("sl"),
+        shiftright(col("o_orderkey"), 1).as("sr"))
+      .orderBy("o_orderkey")
+      .limit(50)
+
+  // ---- Q45 string function completion (F-1b) -----------------------------
+  def q45Str2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "_").as("lp"),
+        rpad(col("p_brand"), 12, "_").as("rp"),
+        expr("split_part(p_type, ' ', 1)").as("sp"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+        reverse(col("p_brand")).as("rv"),
+        expr("repeat(p_brand, 2)").as("rpt"),
+        instr(col("p_name"), "a").as("ps"),
+        expr("left(p_name, 4)").as("lf"),
+        expr("right(p_name, 4)").as("rt"))
+      .orderBy("p_partkey")
+      .limit(30)
+
+  // ---- Q46 uncorrelated scalar + IN subqueries (§4.1 rewrites) -----------
+  // Deliberately via the SQL entry point so Catalyst's subquery planning
+  // (scalar-subquery broadcast + IN → left-semi) is what runs.
+  def q46Subq(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q46_orders")
+    t(s, dir, "customer").createOrReplaceTempView("graft_q46_cust")
+    s.sql(
+      """select o_orderkey, round(o_totalprice,2) tp from graft_q46_orders
+        |where o_totalprice > (select avg(o_totalprice) from graft_q46_orders)
+        |  and o_custkey in (select c_custkey from graft_q46_cust where c_mktsegment='BUILDING')
+        |order by o_orderkey limit 50""".stripMargin)
+  }
+
+  // ---- Q47 aggregate completion (A-14): filtered / boolean /
+  // ordered-argument aggregates. max_by/min_by tie-break on the unique
+  // o_orderkey ordering argument, so results are deterministic.
+  def q47AggExt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("count_if(o_totalprice > 100000)").as("ci"),
+        expr("bool_and(o_totalprice > 0)").as("ba"),
+        expr("bool_or(o_orderpriority = '1-URGENT')").as("bo"),
+        max_by(col("o_custkey"), col("o_orderkey")).as("mb"),
+        min_by(col("o_custkey"), col("o_orderkey")).as("nb"),
+        expr("any_value(o_orderstatus)").as("av"))
+      .orderBy("o_orderstatus")
+
+  // ---- Q48 regexp extraction + match predicate (F-1c) --------------------
+  def q48Regexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("r2"),
+        col("p_name").rlike("^a").as("m"))
+      .orderBy("p_partkey")
+      .limit(30)
+
+  // ---- Q49 array function completion (F-4b) ------------------------------
+  def q49Arr2(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(slice(toks, 1, 3), ",").as("sl"),
+        array_position(toks, "dup").cast("long").as("ap"),
+        size(flatten(array(toks, array(lit("z"))))).cast("long").as("fl"),
+        array_join(array_sort(array_distinct(slice(toks, 1, 5))), ",").as("sd"))
+      .orderBy("doc_id")
+      .limit(30)
+  }
+
+  // ---- Q50 higher-order lambdas (F-5b): transform/filter/exists/fold -----
+  def q50Hof(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(transform(toks, x => upper(x)), ",").as("tr"),
+        array_join(filter(toks, x => length(x) > 3), ",").as("fi"),
+        exists(toks, x => x === "dup").as("ex"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("tot"))
+      .orderBy("doc_id")
+      .limit(30)
+  }
+
+  // ---- Q51 SQL-JSON keys (F-6b / F-7 surface) ----------------------------
+  def q51Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+        col("event_id"),
+        array_join(sort_array(json_object_keys(col("props"))), ",").as("ks"),
+        get_json_object(col("props"), "$.k").as("v"))
+      .orderBy("event_id")
+      .limit(30)
+
+  // ---- Q52 deterministic hash sampling (P-5): engine-portable Bernoulli
+  // sample via a sha256 prefix on the key — identical row selection on any
+  // engine, no RNG, fully pushdown-friendly (scan + filter, no shuffle).
+  def q52Sample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(substring(sha2(col("c_custkey").cast("string"), 256), 1, 1) === "0")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // ---- Q53 lateral correlated subquery (J-12): top-1-per-key as the
+  // SQL-standard LATERAL form (Catalyst decorrelates to a join) ----------
+  def q53Lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q53_orders")
+    t(s, dir, "customer").createOrReplaceTempView("graft_q53_cust")
+    s.sql(
+      """select c.c_custkey, o.o_orderkey, round(o.o_totalprice,2) tp
+        |from graft_q53_cust c,
+        |lateral (select o_orderkey, o_totalprice from graft_q53_orders o
+        |         where o.o_custkey = c.c_custkey
+        |         order by o_totalprice desc, o_orderkey limit 1) o
+        |order by c_custkey limit 50""".stripMargin)
+  }
+
+  // ---- Q54 null-preserving generator (X-4b): explode_outer keeps the
+  // parent row when the array is empty ------------------------------------
+  def q54GenOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", array(lit("a"), lit("b")))
+          .otherwise(typedLit(Seq.empty[String])).as("l"))
+      .select(col("o_orderkey"), explode_outer(col("l")).as("x"))
+      .orderBy("o_orderkey", "x")
+
+  // ---- Q55 calendar arithmetic (F-2b): month truncation, month add with
+  // end-of-month clamping, last_day, day-of-week, quarter ------------------
+  def q55Dates2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("m"),
+        add_months(col("o_orderdate").cast("date"), 1).as("am"),
+        last_day(col("o_orderdate").cast("date")).as("ld"),
+        dayofweek(col("o_orderdate")).cast("long").as("dw"),
+        quarter(col("o_orderdate")).cast("long").as("qt"))
+      .orderBy("o_orderkey")
+      .limit(30)
+
+  /** Round-2 contract queries keyed by id. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
+    "q42_winextra" -> (q42WinExtra _), "q43_cond" -> (q43Cond _),
+    "q44_bits" -> (q44Bits _), "q45_str2" -> (q45Str2 _),
+    "q46_subq" -> (q46Subq _), "q47_aggext" -> (q47AggExt _),
+    "q48_regexp" -> (q48Regexp _), "q49_arr2" -> (q49Arr2 _),
+    "q50_hof" -> (q50Hof _), "q51_json" -> (q51Json _),
+    "q52_sample" -> (q52Sample _), "q53_lateral" -> (q53Lateral _),
+    "q54_gen_outer" -> (q54GenOuter _), "q55_dates2" -> (q55Dates2 _))
+}

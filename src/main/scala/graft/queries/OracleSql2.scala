@@ -1,0 +1,128 @@
+package graft.queries
+
+/** DuckDB-dialect oracles for the round-2 contract queries
+  * (ContractQueries2). Dialect notes per query:
+  *  - pivot: expressed as FILTER-ed conditional aggregates; aliases quoted
+  *    to preserve Spark's case-sensitive pivot column names.
+  *  - unpivot: DuckDB UNPIVOT ... INTO NAME/VALUE.
+  *  - date_trunc('month', ts) returns DATE in DuckDB (TIMESTAMP in Spark)
+  *    → cast back to timestamp.
+  *  - DuckDB ASC sort defaults to NULLS LAST (Spark: NULLS FIRST) → pinned
+  *    explicitly wherever a sort key is nullable (q54).
+  *  - int widths aligned to BIGINT on both sides where they differ.
+  */
+object OracleSql2 {
+
+  val all: Map[String, String] = Map(
+    "q40_pivot" ->
+      """select o_orderpriority,
+        | round(sum(o_totalprice) filter (o_orderstatus='F'),2) "F",
+        | round(sum(o_totalprice) filter (o_orderstatus='O'),2) "O",
+        | round(sum(o_totalprice) filter (o_orderstatus='P'),2) "P"
+        |from orders group by o_orderpriority order by o_orderpriority""".stripMargin,
+
+    "q41_unpivot" ->
+      """select l_orderkey, l_linenumber, m, round(v,2) v from (
+        | unpivot (select l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |          from lineitem where l_orderkey < 200)
+        | on l_quantity, l_discount, l_tax into name m value v)
+        |order by l_orderkey, l_linenumber, m, v limit 60""".stripMargin,
+
+    "q42_winextra" ->
+      """select o_custkey, o_orderkey,
+        | first_value(o_orderkey) over w fv, last_value(o_orderkey) over w lv,
+        | nth_value(o_orderkey,2) over w nv,
+        | round(percent_rank() over w,4) pr, round(cume_dist() over w,4) cd
+        |from orders window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+        |order by o_custkey, o_orderkey limit 100""".stripMargin,
+
+    "q43_cond" ->
+      """select o_orderkey, coalesce(nullif(o_orderstatus,'O'),'X') st,
+        | greatest(o_totalprice, cast(100000.0 as double)) g,
+        | least(o_totalprice, cast(100000.0 as double)) l,
+        | case when o_totalprice > 200000 then 'big'
+        |      when o_totalprice > 100000 then 'mid' else 'small' end bucket
+        |from orders order by o_orderkey limit 50""".stripMargin,
+
+    "q44_bits" ->
+      """select o_orderkey, o_orderkey & 255 ba, o_orderkey | 7 bo,
+        | xor(o_orderkey, 15) bx, o_orderkey << 2 sl, o_orderkey >> 1 sr
+        |from orders order by o_orderkey limit 50""".stripMargin,
+
+    "q45_str2" ->
+      """select p_partkey, lpad(p_brand,12,'_') lp, rpad(p_brand,12,'_') rp,
+        | split_part(p_type,' ',1) sp, levenshtein(p_brand,'Brand#11') lev,
+        | reverse(p_brand) rv, repeat(p_brand,2) rpt, strpos(p_name,'a') ps,
+        | left(p_name,4) lf, right(p_name,4) rt
+        |from part order by p_partkey limit 30""".stripMargin,
+
+    "q46_subq" ->
+      """select o_orderkey, round(o_totalprice,2) tp from orders
+        |where o_totalprice > (select avg(o_totalprice) from orders)
+        |  and o_custkey in (select c_custkey from customer where c_mktsegment='BUILDING')
+        |order by o_orderkey limit 50""".stripMargin,
+
+    "q47_aggext" ->
+      """select o_orderstatus,
+        | count(*) filter (o_totalprice > 100000) ci,
+        | bool_and(o_totalprice > 0) ba,
+        | bool_or(o_orderpriority = '1-URGENT') bo,
+        | arg_max(o_custkey, o_orderkey) mb, arg_min(o_custkey, o_orderkey) nb,
+        | any_value(o_orderstatus) av
+        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin,
+
+    "q48_regexp" ->
+      """select p_partkey, regexp_extract(p_name,'([a-z]+) ([a-z]+)',2) r2,
+        | regexp_matches(p_name,'^a') m
+        |from part order by p_partkey limit 30""".stripMargin,
+
+    "q49_arr2" ->
+      """select doc_id,
+        | array_to_string(string_split(text,' ')[1:3],',') sl,
+        | cast(list_position(string_split(text,' '),'dup') as bigint) ap,
+        | cast(len(flatten([string_split(text,' '), ['z']])) as bigint) fl,
+        | array_to_string(list_sort(list_distinct(string_split(text,' ')[1:5])),',') sd
+        |from documents order by doc_id limit 30""".stripMargin,
+
+    "q50_hof" ->
+      """select doc_id,
+        | array_to_string(list_transform(string_split(text,' '), x -> upper(x)),',') tr,
+        | array_to_string(list_filter(string_split(text,' '), x -> length(x)>3),',') fi,
+        | len(list_filter(string_split(text,' '), x -> x='dup'))>0 ex,
+        | cast(list_sum(list_transform(string_split(text,' '), x -> length(x))) as bigint) tot
+        |from documents order by doc_id limit 30""".stripMargin,
+
+    "q51_json" ->
+      """select event_id, array_to_string(list_sort(json_keys(props)),',') ks,
+        | json_extract_string(props,'$.k') v
+        |from events order by event_id limit 30""".stripMargin,
+
+    "q52_sample" ->
+      """select c_custkey, c_mktsegment from customer
+        |where substr(sha256(cast(c_custkey as varchar)),1,1)='0'
+        |order by c_custkey""".stripMargin,
+
+    "q53_lateral" ->
+      """select c.c_custkey, o.o_orderkey, round(o.o_totalprice,2) tp
+        |from customer c,
+        |lateral (select o_orderkey, o_totalprice from orders o
+        |         where o.o_custkey = c.c_custkey
+        |         order by o_totalprice desc, o_orderkey limit 1) o
+        |order by c_custkey limit 50""".stripMargin,
+
+    "q54_gen_outer" ->
+      """select t.o_orderkey, u.x
+        |from (select o_orderkey,
+        |        case when o_orderstatus='F' then ['a','b'] else [] end l
+        |      from orders where o_orderkey < 100) t
+        |left join lateral (select unnest(t.l) x) u on true
+        |order by o_orderkey, x nulls first""".stripMargin,
+
+    "q55_dates2" ->
+      """select o_orderkey, cast(date_trunc('month', o_orderdate) as timestamp) m,
+        | cast(cast(o_orderdate as date) + interval 1 month as date) am,
+        | last_day(cast(o_orderdate as date)) ld,
+        | cast(extract(dow from o_orderdate)+1 as bigint) dw,
+        | cast(extract(quarter from o_orderdate) as bigint) qt
+        |from orders order by o_orderkey limit 30""".stripMargin)
+}
