@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B timing harness for alternative query formulations.
+  * Not part of the driver contract; run manually:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.PerfLab"
+  */
+object PerfLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(s: String) = Tables.table(spark, sfDir, s)
+
+    // b2 as shipped: ((customer ⋈ orders) ⋈ lineitem) ⋈ nation ⋈ region
+    def b2Current(): DataFrame = graft.queries.ContractQueries.b2(spark, sfDir)
+
+    // b2 reordered: restrict customers to ASIA *first* (broadcast dim
+    // chain), then join orders, then lineitem — the region filter prunes
+    // ~4/5 of the fact-side rows before the big shuffle join.
+    def b2Reordered(): DataFrame =
+      t("customer")
+        .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select("c_custkey", "n_name")
+        .join(t("orders"), col("c_custkey") === col("o_custkey"))
+        .join(t("lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+
+    // b3 as shipped
+    def b3Current(): DataFrame = graft.queries.ContractQueries.b3(spark, sfDir)
+
+    // b3 with the filtered customer side explicitly broadcast
+    def b3Broadcast(): DataFrame =
+      broadcast(t("customer").filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey"))
+        .join(t("orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate")
+        .join(t("lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "b2_current" -> (b2Current _),
+      "b2_reordered" -> (b2Reordered _),
+      "b3_current" -> (b3Current _),
+      "b3_broadcast" -> (b3Broadcast _))
+
+    variants.foreach { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime(); fn().collect(); (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val best = (1 to 3).map(_ => once()).min
+      println(f"PERFLAB $name%-14s $best%.3f s  rows=${fn().count()}")
+    }
+    spark.stop()
+  }
+}

@@ -81,6 +81,30 @@ object Streams {
     events.join(broadcast(customers),
       events("user_id") === customers("c_custkey"), "inner")
 
+  // ---- ST-8 stream-stream interval join ----------------------------------
+  /** clicks ⋈ views: same user, view at or before the click and within
+    * `windowBack` of it. Both sides carry watermarks and the join has an
+    * event-time range conjunct — together these let Spark expire buffered
+    * join state (without them stream-stream join state grows without
+    * bound; with them state per side is O(rate × (watermark + window))).
+    */
+  def clickViewJoin(events: DataFrame, watermark: String = "10 minutes",
+      windowBack: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+        col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    clicks.join(views,
+        col("cu") === col("vu") &&
+        col("vts") >= col("cts") - expr(s"interval $windowBack") &&
+        col("vts") <= col("cts"))
+      .select(col("click_id"), col("view_id"), col("cu").as("user_id"))
+  }
+
   // ---- ST-7 arbitrary stateful processing --------------------------------
   case class UserSessState(lastTs: Long, nSessions: Long, nEvents: Long)
   case class UserSessOut(user_id: Long, n_sessions: Long, n_events: Long)

@@ -168,6 +168,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(seen.get() > 0)
   }
 
+  test("ST-8 stream-stream interval join equals batch interval join") {
+    val src = Streams.readEvents(spark, eventsDir)
+    val got = replay(Streams.clickViewJoin(src), "append")
+    val clicks = batchEvents.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val views = batchEvents.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("vts"))
+    val expected = clicks.join(views,
+        col("cu") === col("vu") &&
+        col("vts") >= col("cts") - expr("interval 30 minutes") &&
+        col("vts") <= col("cts"))
+      .select(col("click_id"), col("view_id"), col("cu").as("user_id"))
+    assert(expected.count() > 0)
+    assert(canon(got) == canon(expected))
+  }
+
   test("ST-7 flatMapGroupsWithState sessionization equals Q25") {
     val stream = Streams.statefulSessionCounts(Streams.readEvents(spark, eventsDir))
     val got = replay(stream.toDF(), "update")
