@@ -183,6 +183,38 @@ object ExtensionQueries {
       .orderBy("doc_id")
       .limit(50)
 
+  // ---- PII / boilerplate scrubbing (E-14) --------------------------------
+  // The fixture corpus carries no URLs/e-mails, so the query injects a
+  // deterministic synthetic prefix (doc_id-derived URL + e-mail + digits)
+  // ahead of the real text — the scrub operator then has real work to do
+  // and the oracle replays the identical construction in DuckDB.
+  def extScrub(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(
+      lit("contact user"), col("doc_id"), lit("@mail.example or "),
+      lit("https://host.example/d/"), col("doc_id"), lit("?x=1 ref 42 "),
+      substring(col("text"), 1, 60))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.scrub(noisy).as("scrubbed"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  // ---- CDC upsert apply (E-15) -------------------------------------------
+  // Latest event value per user (ordered by ts, tie-broken by the unique
+  // event_id) applied onto the customer snapshot; unmatched customers
+  // pass through. Window + left join — the engine-native MERGE.
+  def extUpsert(s: SparkSession, dir: String): DataFrame =
+    Upsert.applyLatest(
+        t(s, dir, "customer"), "c_custkey", "c_acctbal",
+        t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+        "user_id", "value",
+        ordering = Seq(col("ts"), col("event_id")),
+        newValueName = "new_bal")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("old_bal"),
+        round(col("new_bal"), 2).as("new_bal"), col("updated"))
+      .orderBy("c_custkey")
+      .limit(100)
+
   // ---- multimodal plumbing (stub codec; schema/batching real) ------------
   def extMultimodal(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
@@ -209,6 +241,8 @@ object ExtensionQueries {
     "ext_quality" -> (extQuality _),
     "ext_tokcount" -> (extTokCount _),
     "ext_fingerprint" -> (extFingerprint _),
+    "ext_scrub" -> (extScrub _),
+    "ext_upsert" -> (extUpsert _),
     "ext_multimodal" -> (extMultimodal _))
 
   // ---------------------------------------------------------------- oracle
@@ -326,6 +360,26 @@ object ExtensionQueries {
         |  sha256(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(text,' '), t -> t <> ''))),' ')) fp
         |from documents order by doc_id limit 50""".stripMargin,
+
+    "ext_scrub" ->
+      """select doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  'contact user'||doc_id||'@mail.example or https://host.example/d/'||doc_id||'?x=1 ref 42 '||substr(text,1,60),
+        |  'https?://\S+', '<URL>', 'g'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |  '[0-9]+', '<NUM>', 'g') scrubbed
+        |from documents order by doc_id limit 100""".stripMargin,
+
+    "ext_upsert" ->
+      """with latest as (
+        |  select user_id, value from (
+        |    select user_id, value,
+        |      row_number() over (partition by user_id order by ts desc, event_id desc) rn
+        |    from events) where rn = 1)
+        |select c_custkey, round(c_acctbal,2) old_bal,
+        |  round(coalesce(value, c_acctbal),2) new_bal,
+        |  value is not null updated
+        |from customer left join latest on c_custkey = user_id
+        |order by c_custkey limit 100""".stripMargin,
 
     "ext_multimodal" ->
       """select doc_id media_id,

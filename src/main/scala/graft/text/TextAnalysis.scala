@@ -101,6 +101,20 @@ object TextAnalysis {
     sha2(concat_ws(" ", sort_array(array_distinct(
       filter(split(text, " "), t => t =!= "")))), 256)
 
+  /** PII / boilerplate scrubbing for training corpora: URLs, e-mail
+    * addresses and digit runs are replaced with typed placeholder tokens.
+    * Order matters — URLs first (they may contain digits and @), then
+    * e-mails, then bare numbers. Pure codegen'd regexp_replace chain: no
+    * UDF, no shuffle, and the patterns stay in the RE2 ∩ java.util.regex
+    * common dialect so any engine reproduces them.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://\\S+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+
   /** Polynomial rolling hash of the token sequence (order-sensitive) —
     * the classic Rabin-Karp document fingerprint, computed as a fold
     * over the token array (codegen'd `aggregate`, no UDF). Arithmetic is
