@@ -47,14 +47,18 @@ class Glove(
       * comfortably (< ~16M doubles ≈ 128 MB); block-partitioned
       * ([[GloveBlockTrainer]]) beyond. Some(true/false) forces a path.
       */
-    val distributed: Option[Boolean] = None) extends Serializable {
+    val distributed: Option[Boolean] = None,
+    /** Canonical `--symmetric` flag: false = left-context-only windows. */
+    val symmetric: Boolean = true,
+    /** Canonical `--max-vocab`: keep only the top-N ranked words. */
+    val maxVocab: Option[Long] = None) extends Serializable {
 
   def fit(documents: DataFrame, textCol: String = "text"): GloveModel = {
     val spark = documents.sparkSession
     import spark.implicits._
 
     // Stage 1: vocabulary (dense 0-based ids by count desc, word asc).
-    val vocabDf = Vocabulary.build(documents, minCount, textCol)
+    val vocabDf = Vocabulary.build(documents, minCount, textCol, maxVocab)
     val v = vocabDf.count().toInt
     require(v > 0, s"empty vocabulary (minCount=$minCount)")
 
@@ -68,7 +72,7 @@ class Glove(
         .persist(StorageLevel.MEMORY_AND_DISK)
       val docsWithId = documents.withColumn("__gid", monotonically_increasing_id())
       val cooc: Dataset[Cooc] = Cooccurrence
-        .matrixViaJoin(docsWithId, vocab0, window, "__gid", textCol)
+        .matrixViaJoin(docsWithId, vocab0, window, "__gid", textCol, symmetric)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val trainer = new GloveBlockTrainer(dim, xMax, alpha, learningRate,
         iterations, numPartitions, seed)
@@ -93,7 +97,7 @@ class Glove(
       // sorted within partitions so local SGD order is reproducible.
       // (Stage 3 of the canonical toolkit — `shuffle` — is subsumed by
       // the hash repartition itself.)
-      val cooc: Dataset[Cooc] = Cooccurrence.matrix(documents, vocab, window, textCol)
+      val cooc: Dataset[Cooc] = Cooccurrence.matrix(documents, vocab, window, textCol, symmetric)
         .repartition(numPartitions, col("i"), col("j"))
         .sortWithinPartitions("i", "j")
         .persist(StorageLevel.MEMORY_AND_DISK)

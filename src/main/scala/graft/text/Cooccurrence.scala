@@ -25,8 +25,14 @@ object Cooccurrence {
   /** Raw pair instances (w1, w2, wt=1/d) — one row per co-occurrence, both
     * directions. Matches the B9 oracle exactly (no empty-token filter:
     * `split` semantics are preserved end-to-end).
+    *
+    * `symmetric = false` selects the canonical toolkit's asymmetric mode
+    * (`--symmetric 0`): only the LEFT context counts, i.e. each (focus,
+    * context) pair is emitted once with the context word preceding the
+    * focus word — exactly half the symmetric mass.
     */
-  def wordPairs(documents: DataFrame, window: Int, textCol: String = "text"): DataFrame = {
+  def wordPairs(documents: DataFrame, window: Int, textCol: String = "text",
+      symmetric: Boolean = true): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents
@@ -40,8 +46,8 @@ object Cooccurrence {
           var d = 1
           while (d <= window && i + d < n) {
             val wt = 1.0 / d
-            out += ((toks(i), toks(i + d), wt))
-            out += ((toks(i + d), toks(i), wt))
+            out += ((toks(i + d), toks(i), wt)) // focus ← left context
+            if (symmetric) out += ((toks(i), toks(i + d), wt))
             d += 1
           }
           i += 1
@@ -80,7 +86,8 @@ object Cooccurrence {
       vocab: DataFrame, // columns: w (string), id0 (int, 0-based)
       window: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): Dataset[Cooc] = {
+      textCol: String = "text",
+      symmetric: Boolean = true): Dataset[Cooc] = {
     val spark = documents.sparkSession
     import spark.implicits._
     val w = window
@@ -101,8 +108,8 @@ object Cooccurrence {
           var d = 1
           while (d <= w && i + d < n) {
             val wt = 1.0 / d
-            out += Cooc(ids(i), ids(i + d), wt)
             out += Cooc(ids(i + d), ids(i), wt)
+            if (symmetric) out += Cooc(ids(i), ids(i + d), wt)
             d += 1
           }
           i += 1
@@ -119,7 +126,8 @@ object Cooccurrence {
       documents: DataFrame,
       vocab: Map[String, Int],
       window: Int,
-      textCol: String = "text"): Dataset[Cooc] = {
+      textCol: String = "text",
+      symmetric: Boolean = true): Dataset[Cooc] = {
     val spark = documents.sparkSession
     import spark.implicits._
     val bVocab = spark.sparkContext.broadcast(vocab)
@@ -136,8 +144,8 @@ object Cooccurrence {
           var d = 1
           while (d <= window && i + d < n) {
             val wt = 1.0 / d
-            out += Cooc(ids(i), ids(i + d), wt)
             out += Cooc(ids(i + d), ids(i), wt)
+            if (symmetric) out += Cooc(ids(i), ids(i + d), wt)
             d += 1
           }
           i += 1

@@ -17,9 +17,14 @@ object Vocabulary {
     * Correct at any V but single-partition for the rank assignment
     * (Spark's W-7 hazard) — fine to a few million words.
     * Output: (w STRING, c BIGINT, id BIGINT), id starting at 1.
+    *
+    * `maxVocab` keeps only the top-N ranked words (canonical toolkit's
+    * `--max-vocab`); ranking is already total (count desc, word asc), so
+    * the cut is deterministic.
     */
-  def build(documents: DataFrame, minCount: Long, textCol: String = "text"): DataFrame =
-    documents
+  def build(documents: DataFrame, minCount: Long, textCol: String = "text",
+      maxVocab: Option[Long] = None): DataFrame = {
+    val ranked = documents
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w")
@@ -27,12 +32,15 @@ object Vocabulary {
       .filter(col("c") >= minCount)
       .select(col("w"), col("c"),
         row_number().over(Window.orderBy(desc("c"), asc("w"))).cast("long").as("id"))
+    maxVocab.fold(ranked)(m => ranked.filter(col("id") <= m))
+  }
 
   /** Scale formulation: sorted RDD `zipWithIndex` — no single-partition
     * window, works at 100M+ vocab. Produces byte-identical output to
     * [[build]] (equivalence is property-tested).
     */
-  def buildScalable(documents: DataFrame, minCount: Long, textCol: String = "text"): DataFrame = {
+  def buildScalable(documents: DataFrame, minCount: Long, textCol: String = "text",
+      maxVocab: Option[Long] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val counts = documents
@@ -42,10 +50,10 @@ object Vocabulary {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .as[(String, Long)]
-    counts.rdd
+    val ranked = counts.rdd
       .sortBy({ case (w, c) => (-c, w) }, ascending = true)
       .zipWithIndex()
       .map { case ((w, c), idx) => (w, c, idx + 1L) }
-      .toDF("w", "c", "id")
+    maxVocab.fold(ranked)(m => ranked.filter(_._3 <= m)).toDF("w", "c", "id")
   }
 }

@@ -46,6 +46,15 @@ class GloveSpec extends AnyFunSuite with SparkFixture {
     assert(nn2 == "yy", s"nearest neighbor of 'xx' was '$nn2', expected 'yy'")
   }
 
+  test("asymmetric windows and maxVocab train to a working model") {
+    val m = new Glove(dim = 8, window = 2, minCount = 1, iterations = 10,
+      numPartitions = 4, symmetric = false, maxVocab = Some(3L)).fit(corpus)
+    // 4 words in the corpus, cut to the top 3 ranks
+    assert(m.embeddings.count() == 3)
+    val l = m.lossHistory
+    assert(l.last < l.head && l.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
   test("model save/load round-trips") {
     val m = fit(iters = 5)
     val dir = java.nio.file.Files.createTempDirectory("glove").toString + "/model"

@@ -83,6 +83,31 @@ class CooccurrenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("asymmetric (left-context) mode: half the mass, context precedes focus") {
+    val docs = randomCorpus(40, 21L)
+    val sym = Cooccurrence.wordPairs(docs, 2).agg(sum("wt")).collect()(0).getDouble(0)
+    val asym = Cooccurrence.wordPairs(docs, 2, symmetric = false)
+      .agg(sum("wt")).collect()(0).getDouble(0)
+    assert(math.abs(sym - 2 * asym) < 1e-9, s"sym=$sym asym=$asym")
+
+    // on a single ordered document the asymmetric pairs are exactly
+    // (later token, earlier token)
+    val seqDoc = spark.createDataFrame(Seq((0L, "t0 t1 t2 t3"))).toDF("doc_id", "text")
+    val pairs = Cooccurrence.wordPairs(seqDoc, 2, symmetric = false)
+      .select("w1", "w2").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("t1", "t0"), ("t2", "t1"), ("t3", "t2"),
+      ("t2", "t0"), ("t3", "t1")))
+    // all three formulations agree in asymmetric mode too
+    val vocab = Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3)
+    val vocabDf = spark.createDataFrame(vocab.toSeq).toDF("w", "id0")
+    val viaMap = Cooccurrence.matrix(docs, vocab, 2, symmetric = false).collect()
+      .map(c => (c.i, c.j) -> c.x).toMap
+    val viaJoin = Cooccurrence.matrixViaJoin(docs, vocabDf, 2, symmetric = false)
+      .collect().map(c => (c.i, c.j) -> c.x).toMap
+    assert(viaMap.keySet == viaJoin.keySet)
+    viaMap.foreach { case (k, x) => assert(math.abs(viaJoin(k) - x) < 1e-9) }
+  }
+
   test("id-space matrix drops OOV and stays symmetric") {
     val docs = spark.createDataFrame(Seq(
       (0L, "a b oov a"), (1L, "b a b"))).toDF("doc_id", "text")

@@ -15,6 +15,18 @@ class VocabularySpec extends AnyFunSuite with SparkFixture {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("maxVocab keeps exactly the top-N ranks in both formulations") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val full = Vocabulary.build(docs, minCount = 2).collect().sortBy(_.getLong(2))
+    val cut = Vocabulary.build(docs, minCount = 2, maxVocab = Some(10L))
+      .collect().sortBy(_.getLong(2))
+    val cutScalable = Vocabulary.buildScalable(docs, minCount = 2, maxVocab = Some(10L))
+      .collect().sortBy(_.getLong(2))
+    assert(cut.length == 10)
+    assert(cut.map(_.toSeq).toSeq == full.take(10).map(_.toSeq).toSeq)
+    assert(cut.map(_.toSeq).toSeq == cutScalable.map(_.toSeq).toSeq)
+  }
+
   test("ids are dense, 1-based, ranked by count desc then word asc") {
     val docs = Tables.table(spark, sf0001, "documents")
     val v = Vocabulary.build(docs, minCount = 5)
