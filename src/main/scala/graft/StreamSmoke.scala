@@ -48,7 +48,15 @@ object StreamSmoke {
     val twsUsers = spark.table("smoke_tws").count()
     println(s"STREAM tws session users=$twsUsers")
 
-    assert(windows > 0 && users > 0 && twsUsers == users)
+    // stream-stream interval join (ST-8)
+    val q4 = Streams.clickViewJoin(Streams.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("smoke_ssjoin")
+      .outputMode("append").start()
+    q4.processAllAvailable(); q4.stop()
+    val ssPairs = spark.table("smoke_ssjoin").count()
+    println(s"STREAM click-view pairs=$ssPairs")
+
+    assert(windows > 0 && users > 0 && twsUsers == users && ssPairs > 0)
     spark.stop()
   }
 }

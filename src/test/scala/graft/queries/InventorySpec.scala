@@ -26,6 +26,33 @@ class InventorySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("A-3b: percentile_approx within 1% of exact percentile") {
+    val o = Tables.table(spark, sf001, "orders")
+    val rows = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("exact"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getDouble(1); val approx = r.getDouble(2)
+      assert(math.abs(approx - exact) / exact <= 0.01,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("A-3c: HLL sketches built per group union-merge to a global estimate") {
+    // The 100 TB distinct-count pattern: per-partition/per-group sketches
+    // are mergeable, so re-aggregation never touches raw rows again.
+    val e = Tables.table(spark, sf001, "events")
+    val perType = e.groupBy("event_type").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = perType
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("du"))
+      .collect()(0).getLong(0)
+    val exact = e.agg(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged HLL $merged vs exact $exact")
+  }
+
   test("S-4/S-5: CSV source and parquet sink round-trip a query result") {
     val dir = java.nio.file.Files.createTempDirectory("io_spec").toString
     val b1 = ContractQueries.b1(spark, sf0001)
