@@ -183,6 +183,30 @@ object ExtensionQueries {
       .orderBy("doc_id")
       .limit(50)
 
+  // ---- generalized numeric band join (E-16) ------------------------------
+  // Orders of the same customer priced within 1000 of each other, via
+  // the bucket-expansion band join (equi-join on price bucket + exact
+  // recheck — never a nested-loop). Counts pairs per customer.
+  def extBandJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.select(col("o_custkey").as("ck_a"), col("o_orderkey").as("ok_a"),
+      col("o_totalprice").as("tp_a"))
+    val b = o.select(col("o_custkey").as("ck_b"), col("o_orderkey").as("ok_b"),
+      col("o_totalprice").as("tp_b"))
+    BandJoin.joinWithin(a, col("tp_a"), b, col("tp_b"), 1000.0,
+        col("ck_a") === col("ck_b") && col("ok_a") < col("ok_b"))
+      .groupBy(col("ck_a"))
+      .agg(count(lit(1)).as("np"))
+      .select(col("ck_a").as("o_custkey"), col("np"))
+      .orderBy("o_custkey")
+      .limit(100)
+  }
+
+  // ---- equi-width histogram (E-17) ---------------------------------------
+  def extHistogram(s: SparkSession, dir: String): DataFrame =
+    Histogram.histogram(t(s, dir, "orders"), "o_totalprice",
+      min = 0.0, max = 600000.0, nBuckets = 12)
+
   // ---- PII / boilerplate scrubbing (E-14) --------------------------------
   // The fixture corpus carries no URLs/e-mails, so the query injects a
   // deterministic synthetic prefix (doc_id-derived URL + e-mail + digits)
@@ -243,6 +267,8 @@ object ExtensionQueries {
     "ext_fingerprint" -> (extFingerprint _),
     "ext_scrub" -> (extScrub _),
     "ext_upsert" -> (extUpsert _),
+    "ext_band_join" -> (extBandJoin _),
+    "ext_histogram" -> (extHistogram _),
     "ext_multimodal" -> (extMultimodal _))
 
   // ---------------------------------------------------------------- oracle
@@ -368,6 +394,21 @@ object ExtensionQueries {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |  '[0-9]+', '<NUM>', 'g') scrubbed
         |from documents order by doc_id limit 100""".stripMargin,
+
+    "ext_band_join" ->
+      """select a.o_custkey, count(*) np
+        |from orders a join orders b on a.o_custkey=b.o_custkey
+        | and a.o_orderkey < b.o_orderkey
+        | and abs(a.o_totalprice - b.o_totalprice) <= 1000
+        |group by a.o_custkey order by a.o_custkey limit 100""".stripMargin,
+
+    "ext_histogram" ->
+      """with b as (select least(12, greatest(1,
+        |  cast(floor(o_totalprice / cast(50000.0 as double)) + 1 as bigint))) bucket
+        |  from orders)
+        |select bucket, round(cast((bucket-1)*50000 as double),4) lo,
+        |  round(cast(bucket*50000 as double),4) hi, count(*) cnt
+        |from b group by bucket order by bucket""".stripMargin,
 
     "ext_upsert" ->
       """with latest as (
