@@ -56,11 +56,46 @@ object PerfLab {
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
 
+    // b7 with a single from_json parse instead of get_json_object
+    def b7FromJson(): DataFrame =
+      t("events")
+        .select(col("event_type"), col("ts"), col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(sum("k").as("sk"), round(sum("value"), 2).as("sv"), count(lit(1)).as("cnt"))
+        .orderBy("h", "event_type")
+        .limit(100)
+
+    def withConf[T](k: String, v: String)(f: () => T): T = {
+      val old = spark.conf.getOption(k)
+      spark.conf.set(k, v)
+      try f() finally old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "b2_current" -> (b2Current _),
       "b2_reordered" -> (b2Reordered _),
       "b3_current" -> (b3Current _),
-      "b3_broadcast" -> (b3Broadcast _))
+      "b3_broadcast" -> (b3Broadcast _),
+      "b1_default" -> (() => graft.queries.ContractQueries.b1(spark, sfDir)),
+      "b7_current" -> (() => graft.queries.ContractQueries.b7(spark, sfDir)),
+      "b7_from_json" -> (b7FromJson _))
+
+    // scan-split experiment: same b1, smaller max partition bytes
+    def timed(fn: () => DataFrame): Double = {
+      val t0 = System.nanoTime(); fn().collect(); (System.nanoTime() - t0) / 1e9
+    }
+    for (mpb <- Seq("134217728", "8388608", "2097152")) {
+      withConf("spark.sql.files.maxPartitionBytes", mpb) { () =>
+        timed(() => graft.queries.ContractQueries.b1(spark, sfDir))
+        val best = (1 to 3).map(_ => timed(() =>
+          graft.queries.ContractQueries.b1(spark, sfDir))).min
+        println(f"PERFLAB b1@mpb=$mpb%-10s $best%.3f s")
+      }
+    }
 
     variants.foreach { case (name, fn) =>
       def once(): Double = {

@@ -177,6 +177,13 @@ object ExtensionQueries {
       .orderBy("doc_id")
       .limit(100)
 
+  // ---- unigram LM quality scoring (E-18) ---------------------------------
+  def extLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogScore(t(s, dir, "documents"))
+      .select(col("doc_id"), round(col("lm_score"), 4).as("lm_score"))
+      .orderBy("doc_id")
+      .limit(100)
+
   def extFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fp"))
@@ -265,6 +272,7 @@ object ExtensionQueries {
     "ext_quality" -> (extQuality _),
     "ext_tokcount" -> (extTokCount _),
     "ext_fingerprint" -> (extFingerprint _),
+    "ext_lm_score" -> (extLmScore _),
     "ext_scrub" -> (extScrub _),
     "ext_upsert" -> (extUpsert _),
     "ext_band_join" -> (extBandJoin _),
@@ -394,6 +402,15 @@ object ExtensionQueries {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |  '[0-9]+', '<NUM>', 'g') scrubbed
         |from documents order by doc_id limit 100""".stripMargin,
+
+    "ext_lm_score" ->
+      """with toks as (select doc_id, unnest(string_split(text,' ')) w from documents),
+        |tk as (select doc_id, w from toks where w <> ''),
+        |cnt as (select w, count(*) c from tk group by w),
+        |tot as (select cast(sum(c) as double) n from cnt)
+        |select doc_id, round(avg(-ln(cast(c as double)/n)), 4) lm_score
+        |from tk join cnt using(w) cross join tot
+        |group by doc_id order by doc_id limit 100""".stripMargin,
 
     "ext_band_join" ->
       """select a.o_custkey, count(*) np

@@ -101,6 +101,27 @@ object TextAnalysis {
     sha2(concat_ws(" ", sort_array(array_distinct(
       filter(split(text, " "), t => t =!= "")))), 256)
 
+  /** Unigram language-model scoring (the CCNet-style LM quality filter,
+    * reduced to order 1 so it is exactly SQL-reproducible): per document,
+    * the mean negative log-likelihood of its tokens under the corpus'
+    * own unigram distribution. Low score = typical text, high = rare
+    * tokens / noise. Two shuffles total (corpus token count, per-doc
+    * mean); the token→count join broadcasts while the vocabulary is
+    * small and falls back to a shuffled join beyond — both fine at scale
+    * because the count table is tiny relative to the corpus.
+    */
+  def unigramLogScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("n"))
+    toks.join(counts, "w").crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(avg(-log(col("c").cast("double") / col("n"))).as("lm_score"))
+  }
+
   /** PII / boilerplate scrubbing for training corpora: URLs, e-mail
     * addresses and digit runs are replaced with typed placeholder tokens.
     * Order matters — URLs first (they may contain digits and @), then

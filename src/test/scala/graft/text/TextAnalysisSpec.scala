@@ -41,6 +41,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(r => r.getLong(0) <= r.getInt(1)))
   }
 
+  test("unigramLogScore ranks rare-token docs above common-token docs") {
+    // 'common' appears everywhere; 'rare*' tokens once each
+    val docs = spark.createDataFrame(
+      (0L to 9L).map(i => (i, "common common common")) ++
+        Seq((10L, "rare1 rare2 rare3"))).toDF("doc_id", "text")
+    val scores = TextAnalysis.unigramLogScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(10L) > scores(0L),
+      s"rare doc ${scores(10L)} should outscore common doc ${scores(0L)}")
+    // score of the all-common docs = -ln(30/33); exact closed form
+    assert(math.abs(scores(0L) - -math.log(30.0 / 33.0)) < 1e-9)
+  }
+
   test("tokenSetFingerprint is order-insensitive, rollingHash is order-sensitive") {
     val df = spark.createDataFrame(Seq(
       (1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta delta")))
