@@ -223,6 +223,51 @@ object ContractQueries2 {
       .orderBy("o_orderkey")
       .limit(30)
 
+  // ---- Q56 EXCEPT ALL (U-5): multiset difference, multiplicities kept ----
+  def q56ExceptAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .exceptAll(t(s, dir, "nation").select(col("n_nationkey").as("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("k")
+
+  // ---- Q57 INTERSECT ALL (U-6): multiset intersection (min multiplicity) -
+  def q57IntersectAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersectAll(t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_nationkey").as("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("k")
+
+  // ---- Q58 OFFSET pagination (O-4) ---------------------------------------
+  def q58Offset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("tp"))
+      .orderBy("o_orderkey")
+      .offset(40)
+      .limit(20)
+
+  // ---- Q59 grouping() markers over grouping sets (A-6b) ------------------
+  def q59Grouping(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q59_orders")
+    s.sql(
+      """select o_orderstatus, o_orderpriority,
+        |  cast(grouping(o_orderstatus) as bigint) g1,
+        |  cast(grouping(o_orderpriority) as bigint) g2, count(*) c
+        |from graft_q59_orders
+        |group by grouping sets ((o_orderstatus), (o_orderpriority))
+        |order by o_orderstatus nulls first, o_orderpriority nulls first""".stripMargin)
+  }
+
+  // ---- Q60 median (A-8b: interpolated, ≡ percentile 0.5) -----------------
+  def q60Median(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(median(col("o_totalprice")), 4).as("med"),
+        count(lit(1)).as("c"))
+      .orderBy("o_orderstatus")
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -232,5 +277,8 @@ object ContractQueries2 {
     "q48_regexp" -> (q48Regexp _), "q49_arr2" -> (q49Arr2 _),
     "q50_hof" -> (q50Hof _), "q51_json" -> (q51Json _),
     "q52_sample" -> (q52Sample _), "q53_lateral" -> (q53Lateral _),
-    "q54_gen_outer" -> (q54GenOuter _), "q55_dates2" -> (q55Dates2 _))
+    "q54_gen_outer" -> (q54GenOuter _), "q55_dates2" -> (q55Dates2 _),
+    "q56_exceptall" -> (q56ExceptAll _), "q57_intersectall" -> (q57IntersectAll _),
+    "q58_offset" -> (q58Offset _), "q59_grouping" -> (q59Grouping _),
+    "q60_median" -> (q60Median _))
 }

@@ -118,6 +118,34 @@ object OracleSql2 {
         |left join lateral (select unnest(t.l) x) u on true
         |order by o_orderkey, x nulls first""".stripMargin,
 
+    "q56_exceptall" ->
+      """select k, count(*) c from (
+        | select c_nationkey k from customer except all select n_nationkey from nation)
+        |group by k order by k""".stripMargin,
+
+    "q57_intersectall" ->
+      """select k, count(*) c from (
+        | select c_nationkey k from customer
+        | intersect all
+        | select c_nationkey k from customer where c_custkey < 500)
+        |group by k order by k""".stripMargin,
+
+    "q58_offset" ->
+      """select o_orderkey, round(o_totalprice,2) tp from orders
+        |order by o_orderkey limit 20 offset 40""".stripMargin,
+
+    "q59_grouping" ->
+      """select o_orderstatus, o_orderpriority,
+        | cast(grouping(o_orderstatus) as bigint) g1,
+        | cast(grouping(o_orderpriority) as bigint) g2, count(*) c
+        |from orders
+        |group by grouping sets ((o_orderstatus), (o_orderpriority))
+        |order by o_orderstatus nulls first, o_orderpriority nulls first""".stripMargin,
+
+    "q60_median" ->
+      """select o_orderstatus, round(median(o_totalprice),4) med, count(*) c
+        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin,
+
     "q55_dates2" ->
       """select o_orderkey, cast(date_trunc('month', o_orderdate) as timestamp) m,
         | cast(cast(o_orderdate as date) + interval 1 month as date) am,
