@@ -268,6 +268,19 @@ object ContractQueries2 {
         count(lit(1)).as("c"))
       .orderBy("o_orderstatus")
 
+  // ---- Q61 supplier-side join (J-2b): revenue by supplier nation ---------
+  // Covers the one fixture table no other query touches. lineitem joins
+  // supplier on l_suppkey (supplier is dim-sized -> broadcast), then the
+  // nation name arrives over a second broadcast.
+  def q61Supplier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"),
+        countDistinct(col("s_suppkey")).as("n_supp"))
+      .orderBy("n_name")
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -280,5 +293,5 @@ object ContractQueries2 {
     "q54_gen_outer" -> (q54GenOuter _), "q55_dates2" -> (q55Dates2 _),
     "q56_exceptall" -> (q56ExceptAll _), "q57_intersectall" -> (q57IntersectAll _),
     "q58_offset" -> (q58Offset _), "q59_grouping" -> (q59Grouping _),
-    "q60_median" -> (q60Median _))
+    "q60_median" -> (q60Median _), "q61_supplier" -> (q61Supplier _))
 }

@@ -146,6 +146,13 @@ object OracleSql2 {
       """select o_orderstatus, round(median(o_totalprice),4) med, count(*) c
         |from orders group by o_orderstatus order by o_orderstatus""".stripMargin,
 
+    "q61_supplier" ->
+      """select n_name, round(sum(l_extendedprice*(1-l_discount)),2) rev,
+        | count(distinct s_suppkey) n_supp
+        |from lineitem join supplier on l_suppkey=s_suppkey
+        |join nation on s_nationkey=n_nationkey
+        |group by n_name order by n_name""".stripMargin,
+
     "q55_dates2" ->
       """select o_orderkey, cast(date_trunc('month', o_orderdate) as timestamp) m,
         | cast(cast(o_orderdate as date) + interval 1 month as date) am,

@@ -67,6 +67,36 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Q53 lateral top-1 decorrelates to a join, not a nested loop") {
+    val s = executedPlanString(ContractQueries2.q53Lateral(spark, sf001))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"lateral subquery did not decorrelate:\n${s.take(2000)}")
+  }
+
+  test("Q40 pivot plans as a single two-phase aggregate (no per-value scans)") {
+    val df = ContractQueries2.q40Pivot(spark, sf001)
+    val s = executedPlanString(df)
+    assert("FileScan".r.findAllIn(s).length == 1,
+      s"pivot re-scanned the input:\n${s.take(2000)}")
+    assert("HashAggregate".r.findAllIn(s).length >= 2, "pivot aggregate not two-phase")
+  }
+
+  test("Q52 hash sampling stays a scan+filter (no shuffle, pruned columns)") {
+    val df = ContractQueries2.q52Sample(spark, sf001)
+    val s = df.queryExecution.sparkPlan.toString
+    assert(!s.contains("Exchange") || s.contains("rangepartitioning"),
+      s"sampling introduced a non-sort shuffle:\n${s.take(2000)}")
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(s).getOrElse("")
+    assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_name"),
+      s"sampling scan not pruned: $readSchema")
+  }
+
+  test("Q61 supplier/nation dims broadcast onto the lineitem scan") {
+    val s = ContractQueries2.q61Supplier(spark, sf001).queryExecution.sparkPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2,
+      s"expected 2 broadcast joins:\n${s.take(2000)}")
+  }
+
   test("B10 native cosine is in the plan; codegen compiles it in a projection") {
     val df = ContractQueries.b10(spark, sf001)
     val s = df.queryExecution.sparkPlan.toString
