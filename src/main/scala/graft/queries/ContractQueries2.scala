@@ -281,6 +281,28 @@ object ContractQueries2 {
         countDistinct(col("s_suppkey")).as("n_supp"))
       .orderBy("n_name")
 
+  // ---- Q62/Q63 source round-trips (S-4/S-8): customer → CSV/ORC → read
+  // back → aggregate. Hash-matching the direct-parquet oracle proves the
+  // writer/reader pair preserves values exactly (CSV relies on Java's
+  // round-trip-exact double formatting; ORC is binary). ----------------
+  private def roundTrip(s: SparkSession, dir: String, format: String): DataFrame = {
+    val tmp = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/$format/customer"
+    val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    val w = c.write.mode("overwrite")
+    (if (format == "csv") w.option("header", "true") else w).format(format).save(tmp)
+    val r = s.read.format(format)
+    val back = (if (format == "csv")
+      r.option("header", "true")
+        .schema("c_custkey long, c_mktsegment string, c_acctbal double")
+    else r).load(tmp)
+    back.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  def q62CsvRoundtrip(s: SparkSession, dir: String): DataFrame = roundTrip(s, dir, "csv")
+  def q63OrcRoundtrip(s: SparkSession, dir: String): DataFrame = roundTrip(s, dir, "orc")
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -293,5 +315,7 @@ object ContractQueries2 {
     "q54_gen_outer" -> (q54GenOuter _), "q55_dates2" -> (q55Dates2 _),
     "q56_exceptall" -> (q56ExceptAll _), "q57_intersectall" -> (q57IntersectAll _),
     "q58_offset" -> (q58Offset _), "q59_grouping" -> (q59Grouping _),
-    "q60_median" -> (q60Median _), "q61_supplier" -> (q61Supplier _))
+    "q60_median" -> (q60Median _), "q61_supplier" -> (q61Supplier _),
+    "q62_csv_roundtrip" -> (q62CsvRoundtrip _),
+    "q63_orc_roundtrip" -> (q63OrcRoundtrip _))
 }

@@ -146,6 +146,14 @@ object OracleSql2 {
       """select o_orderstatus, round(median(o_totalprice),4) med, count(*) c
         |from orders group by o_orderstatus order by o_orderstatus""".stripMargin,
 
+    "q62_csv_roundtrip" ->
+      """select c_mktsegment, count(*) n, round(sum(c_acctbal),2) bal
+        |from customer group by c_mktsegment order by c_mktsegment""".stripMargin,
+
+    "q63_orc_roundtrip" ->
+      """select c_mktsegment, count(*) n, round(sum(c_acctbal),2) bal
+        |from customer group by c_mktsegment order by c_mktsegment""".stripMargin,
+
     "q61_supplier" ->
       """select n_name, round(sum(l_extendedprice*(1-l_discount)),2) rev,
         | count(distinct s_suppkey) n_supp
