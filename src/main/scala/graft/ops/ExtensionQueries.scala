@@ -177,6 +177,26 @@ object ExtensionQueries {
       .orderBy("doc_id")
       .limit(100)
 
+  // ---- time-series resample + forward fill (E-19) ------------------------
+  // Per-user hourly grid over each user's event span; the value at each
+  // hour is the latest observation in that hour (deterministic pick by
+  // ts desc, event_id desc), carried forward through empty hours.
+  def extResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("value"), col("ts"), col("event_id"))
+    val picked = Upsert.latestPerKey(
+        ev.withColumn("__k", concat_ws("|", col("user_id"), col("h"))),
+        "__k", Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("h"), col("value"))
+    Resample.gridForwardFill(picked, "user_id", "h", "value",
+        expr("interval 1 hour"))
+      .select(col("user_id"), col("h"), round(col("value"), 2).as("v"))
+      .orderBy("user_id", "h")
+      .limit(200)
+  }
+
   // ---- unigram LM quality scoring (E-18) ---------------------------------
   def extLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogScore(t(s, dir, "documents"))
@@ -273,6 +293,7 @@ object ExtensionQueries {
     "ext_tokcount" -> (extTokCount _),
     "ext_fingerprint" -> (extFingerprint _),
     "ext_lm_score" -> (extLmScore _),
+    "ext_resample" -> (extResample _),
     "ext_scrub" -> (extScrub _),
     "ext_upsert" -> (extUpsert _),
     "ext_band_join" -> (extBandJoin _),
@@ -402,6 +423,22 @@ object ExtensionQueries {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |  '[0-9]+', '<NUM>', 'g') scrubbed
         |from documents order by doc_id limit 100""".stripMargin,
+
+    "ext_resample" ->
+      """with ev as (select user_id, date_trunc('hour', ts) h, value, ts, event_id
+        |  from events where user_id < 5),
+        |obs as (select user_id, h, value from (
+        |  select user_id, h, value,
+        |    row_number() over (partition by user_id, h order by ts desc, event_id desc) rn
+        |  from ev) where rn = 1),
+        |bounds as (select user_id, min(h) lo, max(h) hi from ev group by user_id),
+        |grid as (select user_id, unnest(generate_series(lo, hi, interval 1 hour)) h from bounds),
+        |filled as (select g.user_id, g.h,
+        |  last_value(o.value ignore nulls) over (
+        |    partition by g.user_id order by g.h rows between unbounded preceding and current row) v
+        |  from grid g left join obs o on o.user_id = g.user_id and o.h = g.h)
+        |select user_id, h, round(v, 2) v from filled
+        |order by user_id, h limit 200""".stripMargin,
 
     "ext_lm_score" ->
       """with toks as (select doc_id, unnest(string_split(text,' ')) w from documents),
