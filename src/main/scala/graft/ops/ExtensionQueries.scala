@@ -177,6 +177,35 @@ object ExtensionQueries {
       .orderBy("doc_id")
       .limit(100)
 
+  // ---- deterministic sampling suite (E-20) -------------------------------
+  // Exact-k uniform sample: order by sha256(key) — plans as
+  // TakeOrderedAndProject, no global sort, reproducible on any engine.
+  def extSampleK(s: SparkSession, dir: String): DataFrame =
+    Sampling.exactK(t(s, dir, "customer"), col("c_custkey"), 20)
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // Stratified cap: ≤3 customers per market segment, uniform within each
+  // (the "cap documents per language/domain" pipeline op).
+  def extStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedK(t(s, dir, "customer"),
+        col("c_mktsegment"), col("c_custkey"), 3)
+      .select("c_mktsegment", "c_custkey")
+      .orderBy("c_mktsegment", "c_custkey")
+
+  // ---- winsorization (E-21): clip to the in-group [p05, p95] band --------
+  def extWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val q = o.groupBy(col("o_orderstatus").as("st"))
+      .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+    o.join(broadcast(q), col("o_orderstatus") === col("st"))
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(least(greatest(col("o_totalprice"), col("p05")), col("p95")), 2).as("w"))
+      .orderBy("o_orderkey")
+  }
+
   // ---- time-series resample + forward fill (E-19) ------------------------
   // Per-user hourly grid over each user's event span; the value at each
   // hour is the latest observation in that hour (deterministic pick by
@@ -294,6 +323,9 @@ object ExtensionQueries {
     "ext_fingerprint" -> (extFingerprint _),
     "ext_lm_score" -> (extLmScore _),
     "ext_resample" -> (extResample _),
+    "ext_sample_k" -> (extSampleK _),
+    "ext_stratified" -> (extStratified _),
+    "ext_winsorize" -> (extWinsorize _),
     "ext_scrub" -> (extScrub _),
     "ext_upsert" -> (extUpsert _),
     "ext_band_join" -> (extBandJoin _),
@@ -423,6 +455,28 @@ object ExtensionQueries {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |  '[0-9]+', '<NUM>', 'g') scrubbed
         |from documents order by doc_id limit 100""".stripMargin,
+
+    "ext_sample_k" ->
+      """select c_custkey, c_mktsegment from (
+        |  select c_custkey, c_mktsegment from customer
+        |  order by sha256(cast(c_custkey as varchar)), c_custkey limit 20)
+        |order by c_custkey""".stripMargin,
+
+    "ext_stratified" ->
+      """select c_mktsegment, c_custkey from (
+        |  select c_mktsegment, c_custkey,
+        |    row_number() over (partition by c_mktsegment
+        |      order by sha256(cast(c_custkey as varchar)), c_custkey) rn
+        |  from customer) where rn <= 3
+        |order by c_mktsegment, c_custkey""".stripMargin,
+
+    "ext_winsorize" ->
+      """with q as (select o_orderstatus st, quantile_cont(o_totalprice, 0.05) p05,
+        |  quantile_cont(o_totalprice, 0.95) p95 from orders group by o_orderstatus)
+        |select o_orderkey, o_orderstatus,
+        |  round(least(greatest(o_totalprice, p05), p95), 2) w
+        |from orders join q on o_orderstatus = st
+        |where o_orderkey < 2000 order by o_orderkey""".stripMargin,
 
     "ext_resample" ->
       """with ev as (select user_id, date_trunc('hour', ts) h, value, ts, event_id
