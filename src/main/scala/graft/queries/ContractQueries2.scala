@@ -303,6 +303,18 @@ object ContractQueries2 {
   def q62CsvRoundtrip(s: SparkSession, dir: String): DataFrame = roundTrip(s, dir, "csv")
   def q63OrcRoundtrip(s: SparkSession, dir: String): DataFrame = roundTrip(s, dir, "orc")
 
+  // ---- Q64 right outer join (J-10 completion: L was q37, F was q38) ------
+  // Customers with no events surface with zero counts from the
+  // null-extended side.
+  def q64RightOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"), col("event_id"))
+      .join(t(s, dir, "customer").select("c_custkey"),
+        col("user_id") === col("c_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(count(col("event_id")).as("n_events"))
+      .orderBy("c_custkey")
+      .limit(50)
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -317,5 +329,6 @@ object ContractQueries2 {
     "q58_offset" -> (q58Offset _), "q59_grouping" -> (q59Grouping _),
     "q60_median" -> (q60Median _), "q61_supplier" -> (q61Supplier _),
     "q62_csv_roundtrip" -> (q62CsvRoundtrip _),
-    "q63_orc_roundtrip" -> (q63OrcRoundtrip _))
+    "q63_orc_roundtrip" -> (q63OrcRoundtrip _),
+    "q64_rightouter" -> (q64RightOuter _))
 }

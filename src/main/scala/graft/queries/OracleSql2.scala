@@ -146,6 +146,11 @@ object OracleSql2 {
       """select o_orderstatus, round(median(o_totalprice),4) med, count(*) c
         |from orders group by o_orderstatus order by o_orderstatus""".stripMargin,
 
+    "q64_rightouter" ->
+      """select c_custkey, count(event_id) n_events
+        |from events e right join customer c on e.user_id = c.c_custkey
+        |group by c_custkey order by c_custkey limit 50""".stripMargin,
+
     "q62_csv_roundtrip" ->
       """select c_mktsegment, count(*) n, round(sum(c_acctbal),2) bal
         |from customer group by c_mktsegment order by c_mktsegment""".stripMargin,

@@ -99,6 +99,18 @@ class InventorySpec extends AnyFunSuite with SparkFixture {
     assert(pairs.count() > 0)
   }
 
+  test("X-5: Observation metrics ride along a query at zero extra passes") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("b1_metrics")
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(col("l_quantity")).as("qty_seen"))
+    val n = li.groupBy("l_returnflag").count().collect().map(_.getLong(1)).sum
+    val m = obs.get
+    assert(m("rows_seen") == n)
+    assert(m("qty_seen").asInstanceOf[Double] > 0)
+  }
+
   test("T-11: analogy query returns k rows excluding the inputs") {
     val docs = Tables.table(spark, sf0001, "documents")
     val model = new graft.glove.Glove(dim = 8, window = 2, minCount = 5,
