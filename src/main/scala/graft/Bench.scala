@@ -33,8 +33,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       try {
-        once() // warm-up: JIT, code cache, file footer cache
-        name -> (1 to 3).map(_ => once()).min
+        once(); once() // warm-ups: JIT, code cache, file footer cache
+        name -> (1 to 5).map(_ => once()).min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
