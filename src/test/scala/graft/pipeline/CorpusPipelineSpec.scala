@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end corpus-preparation funnel over the fixture corpus: stage
+  * counts are monotone, the planted near-duplicates die in the dedup
+  * stage, caps hold, and the run is deterministic.
+  */
+class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val docs = Tables.table(spark, sf001, "documents")
+
+  test("funnel counts are monotone and near-dups are removed") {
+    val (out, r) = new CorpusPipeline(nearDupThreshold = 0.5).run(docs)
+    assert(r.input == docs.count())
+    assert(r.afterScrub == r.input)
+    assert(r.afterLang <= r.afterScrub && r.afterQuality <= r.afterLang)
+    assert(r.afterExactDedup <= r.afterQuality && r.afterNearDedup <= r.afterExactDedup)
+    assert(r.output == r.afterNearDedup)
+    // the sf0.01 fixture plants 25 near-dup pairs (FIXTURES.md quirk 3);
+    // at τ=0.5 with no other filters, at least the paired larger ids die
+    assert(r.afterExactDedup - r.afterNearDedup >= 20,
+      s"expected >=20 near-dups removed, got ${r.afterExactDedup - r.afterNearDedup}")
+    // output still carries the text and the derived columns
+    assert(out.columns.contains("text") && out.columns.contains("quality"))
+  }
+
+  test("language filter and per-language cap apply") {
+    val langs = docs.select(graft.text.TextAnalysis.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(_.getString(0)).toSet
+    val keep = Set(langs.head)
+    val (out, r) = new CorpusPipeline(languages = keep,
+      capPerLanguage = Some(5)).run(docs)
+    assert(r.afterLang < r.input || langs.size == 1)
+    assert(r.output <= 5 * keep.size)
+    assert(out.select("__lang").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(keep))
+  }
+
+  test("pipeline is deterministic end to end") {
+    val (a, ra) = new CorpusPipeline(nearDupThreshold = 0.5,
+      capPerLanguage = Some(10)).run(docs)
+    val (b, rb) = new CorpusPipeline(nearDupThreshold = 0.5,
+      capPerLanguage = Some(10)).run(docs)
+    assert(ra == rb)
+    assert(a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
