@@ -105,6 +105,52 @@ object PerfLab {
       val best = (1 to 3).map(_ => once()).min
       println(f"PERFLAB $name%-14s $best%.3f s  rows=${fn().count()}")
     }
+
+    // Corpus funnel: shipped Observation+persist pipeline vs the round-2
+    // formulation (five uncached count() actions, each re-executing the
+    // whole upstream funnel). Same report values, different wall time.
+    {
+      import graft.ops.{Dedup, Sampling}
+      import graft.text.TextAnalysis
+      val docs = t("documents")
+      // faithful to the round-2 code: six uncached actions, with the
+      // near-dedup lineage materialized twice (afterNear AND outCount)
+      def naiveRun(): pipeline.PipelineReport = {
+        val input = docs.count()
+        val scrubbed = docs.withColumn("text", TextAnalysis.scrub(col("text")))
+        val withLang = scrubbed.withColumn("__lang", TextAnalysis.langId(col("text")))
+        val afterLang = withLang.count()
+        val scored = TextAnalysis.qualityFeatures(withLang, "text")
+        val afterQuality = scored.count()
+        val keeperIds = Dedup.exactAssignKeepers(scored, "doc_id", "text")
+          .filter(!col("is_dup")).select("doc_id")
+        val exactKept = scored.join(keeperIds, Seq("doc_id"), "left_semi")
+        val afterExact = exactKept.count()
+        val dupIds = Dedup.minhashNearDupPairsFromSets(
+            exactKept, "doc_id", array_distinct(split(col("text"), " ")),
+            threshold = 0.5, bands = 64, rowsPerBand = 2)
+          .select(col("id_b").as("doc_id")).distinct()
+        val nearKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
+        val afterNear = nearKept.count()
+        val outCount = nearKept.count()
+        pipeline.PipelineReport(input, input, afterLang, afterQuality,
+          afterExact, afterNear, outCount)
+      }
+      def shippedRun(): pipeline.PipelineReport = {
+        val (out, r) = new pipeline.CorpusPipeline(nearDupThreshold = 0.5).run(docs)
+        out.unpersist()
+        r
+      }
+      def timedReport(fn: () => pipeline.PipelineReport): (Double, pipeline.PipelineReport) = {
+        val t0 = System.nanoTime(); val r = fn(); ((System.nanoTime() - t0) / 1e9, r)
+      }
+      timedReport(shippedRun _); timedReport(naiveRun _) // JIT warm-up for both
+      val (tn, rn) = timedReport(naiveRun _)
+      val (ts, rs) = timedReport(shippedRun _)
+      println(f"PERFLAB funnel_naive_counts   $tn%.3f s  $rn")
+      println(f"PERFLAB funnel_observed       $ts%.3f s  $rs")
+      println(f"PERFLAB funnel speedup: ${tn / ts}%.2fx")
+    }
     spark.stop()
   }
 }

@@ -2,8 +2,9 @@ package graft.pipeline
 
 import graft.ops.{Dedup, Sampling}
 import graft.text.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Per-stage surviving-document counts from a pipeline run. */
 case class PipelineReport(
@@ -17,14 +18,38 @@ case class PipelineReport(
   *   scrub → language filter → quality filter → exact dedup →
   *   MinHash near-dedup → optional per-language cap
   *
-  * Every stage is a narrow projection or an already-scale-proven op, so
-  * the whole funnel is one logical plan per stage boundary with no
-  * driver-side data movement; counts for the report are the only
-  * actions. Near-dup removal keeps the smallest doc_id of each
-  * candidate pair (greedy by pair, which removes at least one of every
-  * duplicate pair; transitive clusters lose all but their minimum
-  * member as long as the cluster is pairwise-similar, the common case
-  * for crawl duplicates).
+  * Every stage is a narrow projection or an already-scale-proven op.
+  * Near-dup removal keeps the smallest doc_id of each candidate pair
+  * (greedy by pair, which removes at least one of every duplicate pair;
+  * transitive clusters lose all but their minimum member as long as the
+  * cluster is pairwise-similar, the common case for crawl duplicates).
+  *
+  * Stage counts for the report ride the three real passes as
+  * `Observation` (CollectMetrics) aggregates — they cost zero extra
+  * jobs — and the stage boundaries are persisted in a hand-over-hand
+  * chain so every stage of the funnel executes exactly once:
+  *
+  *   action 1  scored.count()    runs scrub+langid+quality ONCE into the
+  *                               cache and resolves the input/afterLang
+  *                               observations on the way;
+  *   action 2  exactKept.count() runs the exact-dedup join ONCE off that
+  *                               cache into its own cache (then scored
+  *                               is released);
+  *   action 3  out.count()       runs near-dedup + cap ONCE off the
+  *                               exactKept cache into the output cache,
+  *                               resolving the afterNearDedup observation
+  *                               on the way (then exactKept is released).
+  *
+  * (The first cut of this pipeline issued five uncached count() actions,
+  * which re-executed the whole upstream funnel per stage — the near-dup
+  * join alone ran twice, and at 100 TB the multiplier applies to the
+  * dominant scrub/langid/quality cost. CorpusPipelineSpec now pins
+  * exactly-once execution of the text stages with a row-level
+  * accumulator; PerfLab carries the A/B against the naive-count form.)
+  *
+  * The returned DataFrame is persisted and already materialized — use it
+  * (typically `out.write...`) and call `out.unpersist()` when done; no
+  * intermediate stays cached beyond run().
   */
 class CorpusPipeline(
     val languages: Set[String] = Set.empty, // empty = keep all
@@ -34,28 +59,36 @@ class CorpusPipeline(
 
   def run(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, PipelineReport) = {
-    val input = documents.count()
+    val obsInput = Observation()
+    val obsLang = Observation()
+    val obsNear = Observation()
 
     val scrubbed = documents
+      .observe(obsInput, count(lit(1)).as("n"))
       .withColumn(textCol, TextAnalysis.scrub(col(textCol)))
-    val afterScrub = input // scrub is 1:1, no rows dropped
 
     val withLang = scrubbed
       .withColumn("__lang", TextAnalysis.langId(col(textCol)))
     val langFiltered =
       if (languages.isEmpty) withLang
       else withLang.filter(col("__lang").isin(languages.toSeq: _*))
-    val afterLang = langFiltered.count()
 
-    val scored = TextAnalysis.qualityFeatures(langFiltered, textCol)
+    val scored = TextAnalysis.qualityFeatures(
+        langFiltered.observe(obsLang, count(lit(1)).as("n")), textCol)
       .filter(col("quality") >= minQuality)
-    val afterQuality = scored.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterQuality = scored.count() // action 1
+    val input = obsInput.get("n").asInstanceOf[Long]
+    val afterScrub = input // scrub is 1:1, no rows dropped
+    val afterLang = obsLang.get("n").asInstanceOf[Long]
 
     val keeperIds = Dedup.exactAssignKeepers(scored, idCol, textCol)
       .filter(!col("is_dup"))
       .select(idCol)
     val exactKept = scored.join(keeperIds, Seq(idCol), "left_semi")
-    val afterExact = exactKept.count()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exactKept.count() // action 2
+    scored.unpersist()
 
     val dupIds = Dedup.minhashNearDupPairsFromSets(
         exactKept, idCol, array_distinct(split(col(textCol), " ")),
@@ -63,13 +96,15 @@ class CorpusPipeline(
       .select(col("id_b").as(idCol)) // drop the larger id of each pair
       .distinct()
     val nearKept = exactKept.join(dupIds, Seq(idCol), "left_anti")
-    val afterNear = nearKept.count()
+      .observe(obsNear, count(lit(1)).as("n"))
 
-    val out = capPerLanguage match {
+    val out = (capPerLanguage match {
       case Some(k) => Sampling.stratifiedK(nearKept, col("__lang"), col(idCol), k)
       case None => nearKept
-    }
-    val outCount = out.count()
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val outCount = out.count() // action 3
+    val afterNear = obsNear.get("n").asInstanceOf[Long]
+    exactKept.unpersist()
 
     (out, PipelineReport(input, afterScrub, afterLang, afterQuality,
       afterExact, afterNear, outCount))

@@ -48,4 +48,21 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("text stages execute exactly once (no recompute amplification)") {
+    // A row-level accumulator in a typed filter directly under the source
+    // counts every time a source row flows through the funnel's text
+    // stages. With the Observation + persist design the source is scanned
+    // once total across all three actions — the round-2 five-action
+    // version scanned it ~5x.
+    val n = docs.count()
+    val acc = spark.sparkContext.longAccumulator("docScanRows")
+    val counted = docs.filter((_: org.apache.spark.sql.Row) => {
+      acc.add(1); true
+    })
+    val (_, r) = new CorpusPipeline(nearDupThreshold = 0.5).run(counted)
+    assert(r.input == n)
+    assert(acc.value == n,
+      s"source rows flowed ${acc.value}x for $n input rows — text stages recomputed")
+  }
 }
