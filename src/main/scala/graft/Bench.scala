@@ -12,6 +12,30 @@ import org.apache.spark.sql.SparkSession
   * faster path and hash-matches the same oracle).
   */
 object Bench {
+
+  /** Per-query wall-clock budgets (seconds) at sf0.1: 2× the measured
+    * Spark-4.1.2 baseline column of BASELINE.md. The driver's bench run
+    * is the enforcement point — a query drifting past its budget makes
+    * this main exit non-zero so the regression is caught the round it
+    * happens, not at judging time.
+    */
+  val budgetsSf01: Map[String, Double] = Map(
+    "b1" -> 1.80, "b2" -> 2.21, "b3" -> 1.36, "b4" -> 0.84, "b5" -> 0.78,
+    "b6" -> 0.47, "b7" -> 0.73, "b8" -> 0.32, "b9" -> 2.08, "b10" -> 0.41)
+
+  /** Budget violations for a set of timed results: queries that threw
+    * (negative time) always violate; queries with a budget entry violate
+    * when slower than it. Pure so BenchBudgetSpec can gate it.
+    */
+  def checkBudgets(results: Seq[(String, Double)],
+      budgets: Map[String, Double]): Seq[String] =
+    results.flatMap { case (name, t) =>
+      if (t < 0) Some(s"$name failed (threw during bench)")
+      else budgets.get(name).collect {
+        case b if t > b => f"$name took $t%.3f s, over its $b%.2f s budget"
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,5 +70,13 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // budgets are calibrated to the sf0.1 protocol; at other scale
+    // factors only outright query failures are fatal
+    val budgets = if (sfDir.contains("sf0.1")) budgetsSf01 else Map.empty[String, Double]
+    val violations = checkBudgets(results, budgets)
+    if (violations.nonEmpty) {
+      violations.foreach(v => System.err.println(s"[bench] BUDGET VIOLATION: $v"))
+      sys.exit(1)
+    }
   }
 }
