@@ -53,6 +53,15 @@ class Glove(
     /** Canonical `--max-vocab`: keep only the top-N ranked words. */
     val maxVocab: Option[Long] = None) extends Serializable {
 
+  /** Hyperparameters persisted with the model (GloveModel.save/load). */
+  private def trainParams: Map[String, String] = Map(
+    "window" -> window.toString, "minCount" -> minCount.toString,
+    "xMax" -> xMax.toString, "alpha" -> alpha.toString,
+    "learningRate" -> learningRate.toString,
+    "iterations" -> iterations.toString, "seed" -> seed.toString,
+    "symmetric" -> symmetric.toString,
+    "maxVocab" -> maxVocab.map(_.toString).getOrElse(""))
+
   def fit(documents: DataFrame, textCol: String = "text"): GloveModel = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -82,7 +91,7 @@ class Glove(
         .join(vecs, vocab0("id0") === vecs("id"))
         .select(col("w").as("word"), col("id"), col("vec"))
       vocab0.unpersist()
-      new GloveModel(embeddings, dim, lossHistory)
+      new GloveModel(embeddings, dim, lossHistory, trainParams)
     } else {
       // Small-V path: broadcast vocabulary + flatMap kernel.
       val vocabRows = vocabDf.select("w", "id").as[(String, Long)].collect()
@@ -118,7 +127,7 @@ class Glove(
         (words(i), i, vec)
       }
       val embeddings = spark.createDataFrame(out).toDF("word", "id", "vec")
-      new GloveModel(embeddings, dim, trained.lossHistory)
+      new GloveModel(embeddings, dim, trained.lossHistory, trainParams)
     }
   }
 }

@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
 /** Trained GloVe model: `embeddings` is (word STRING, id INT, vec
   * ARRAY<FLOAT>). API shaped like ml.feature.Word2VecModel for
   * familiarity: findSynonyms / analogy / transform / save-load.
+  *
+  * `params` carries the training hyperparameters (window, minCount, …)
+  * as strings; [[save]] persists them with `dim` and the loss history so
+  * [[GloveModel.load]] restores the full model from the path alone.
   */
 class GloveModel(
     val embeddings: DataFrame,
     val dim: Int,
-    val lossHistory: Seq[Double]) extends Serializable {
+    val lossHistory: Seq[Double],
+    val params: Map[String, String] = Map.empty) extends Serializable {
 
   /** Top-k cosine neighbors of `word` (excluding itself). */
   def findSynonyms(word: String, k: Int): DataFrame = {
@@ -66,11 +71,30 @@ class GloveModel(
     documents.join(summed, Seq(idCol), "left")
   }
 
-  def save(path: String): Unit =
-    embeddings.write.mode("overwrite").parquet(path)
+  /** Persist embeddings + metadata: `path/embeddings` (parquet) and
+    * `path/meta` (one-row parquet: dim, loss history, hyperparameters).
+    */
+  def save(path: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.write.mode("overwrite").parquet(s"$path/embeddings")
+    Seq(GloveModelMeta(dim, lossHistory, params)).toDS()
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 }
 
+/** On-disk model metadata (parquet keeps the map/array types exact). */
+case class GloveModelMeta(dim: Int, lossHistory: Seq[Double],
+    params: Map[String, String])
+
 object GloveModel {
-  def load(spark: SparkSession, path: String, dim: Int): GloveModel =
-    new GloveModel(spark.read.parquet(path), dim, Seq.empty)
+  /** Restore a model saved by [[GloveModel.save]] — no caller-supplied
+    * hyperparameters; everything round-trips from `path/meta`.
+    */
+  def load(spark: SparkSession, path: String): GloveModel = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").as[GloveModelMeta].head()
+    new GloveModel(spark.read.parquet(s"$path/embeddings"),
+      meta.dim, meta.lossHistory, meta.params)
+  }
 }

@@ -55,12 +55,18 @@ class GloveSpec extends AnyFunSuite with SparkFixture {
     assert(l.last < l.head && l.forall(x => !x.isNaN && !x.isInfinite))
   }
 
-  test("model save/load round-trips") {
+  test("model save/load round-trips embeddings, dim, loss history and params") {
     val m = fit(iters = 5)
     val dir = java.nio.file.Files.createTempDirectory("glove").toString + "/model"
     m.save(dir)
-    val loaded = GloveModel.load(spark, dir, dim = 8)
+    val loaded = GloveModel.load(spark, dir) // no dim argument
+    assert(loaded.dim == m.dim)
+    assert(loaded.lossHistory == m.lossHistory)
+    assert(loaded.params == m.params && loaded.params("window") == "2")
     assert(loaded.embeddings.count() == m.embeddings.count())
+    // behavioral equality, not just counts: same synonyms, same scores
+    assert(loaded.findSynonyms("aa", 3).collect().toSeq ==
+      m.findSynonyms("aa", 3).collect().toSeq)
   }
 
   test("transform produces doc vectors of the right shape") {
