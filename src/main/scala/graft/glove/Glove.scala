@@ -51,7 +51,12 @@ class Glove(
     /** Canonical `--symmetric` flag: false = left-context-only windows. */
     val symmetric: Boolean = true,
     /** Canonical `--max-vocab`: keep only the top-N ranked words. */
-    val maxVocab: Option[Long] = None) extends Serializable {
+    val maxVocab: Option[Long] = None,
+    /** Canonical distance semantics: OOV tokens still occupy window
+      * distance (Cooccurrence.distanceOverOriginalPositions). Default
+      * false = distances re-measured over kept tokens.
+      */
+    val distanceOverOriginalPositions: Boolean = false) extends Serializable {
 
   /** Hyperparameters persisted with the model (GloveModel.save/load). */
   private def trainParams: Map[String, String] = Map(
@@ -60,7 +65,8 @@ class Glove(
     "learningRate" -> learningRate.toString,
     "iterations" -> iterations.toString, "seed" -> seed.toString,
     "symmetric" -> symmetric.toString,
-    "maxVocab" -> maxVocab.map(_.toString).getOrElse(""))
+    "maxVocab" -> maxVocab.map(_.toString).getOrElse(""),
+    "distanceOverOriginalPositions" -> distanceOverOriginalPositions.toString)
 
   def fit(documents: DataFrame, textCol: String = "text"): GloveModel = {
     val spark = documents.sparkSession
@@ -81,7 +87,8 @@ class Glove(
         .persist(StorageLevel.MEMORY_AND_DISK)
       val docsWithId = documents.withColumn("__gid", monotonically_increasing_id())
       val cooc: Dataset[Cooc] = Cooccurrence
-        .matrixViaJoin(docsWithId, vocab0, window, "__gid", textCol, symmetric)
+        .matrixViaJoin(docsWithId, vocab0, window, "__gid", textCol, symmetric,
+          distanceOverOriginalPositions)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val trainer = new GloveBlockTrainer(dim, xMax, alpha, learningRate,
         iterations, numPartitions, seed)
@@ -106,7 +113,8 @@ class Glove(
       // sorted within partitions so local SGD order is reproducible.
       // (Stage 3 of the canonical toolkit — `shuffle` — is subsumed by
       // the hash repartition itself.)
-      val cooc: Dataset[Cooc] = Cooccurrence.matrix(documents, vocab, window, textCol, symmetric)
+      val cooc: Dataset[Cooc] = Cooccurrence.matrix(documents, vocab, window,
+          textCol, symmetric, distanceOverOriginalPositions)
         .repartition(numPartitions, col("i"), col("j"))
         .sortWithinPartitions("i", "j")
         .persist(StorageLevel.MEMORY_AND_DISK)

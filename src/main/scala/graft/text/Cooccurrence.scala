@@ -63,23 +63,47 @@ object Cooccurrence {
       .groupBy("w1", "w2")
       .agg(sum("wt").as("x"), count(lit(1)).as("c"))
 
-  /** Id-space sparse matrix for training: tokens outside `vocab` are
-    * dropped (canonical `cooccur` behavior), ids from the broadcast vocab
-    * map (word -> 0-based id). Window distances are measured over the
-    * ORIGINAL token positions, before OOV filtering — matching the
-    * canonical toolkit, which builds distances over the kept-token stream;
-    * we follow the simpler and more common "distance over kept tokens"
-    * variant used by faithful ports: OOV tokens are removed first, then
-    * positions are re-measured. (Property-tested; documented deviation
-    * candidates are noted in GloveSpec.)
+  /** O(n·w) forward-scan kernel over one document's kept-token stream.
+    * `pos(k)` is the distance-defining position of kept token k — the
+    * kept index itself (default mode, positions re-measured after OOV
+    * removal) or the token's original pre-filter position (canonical
+    * `cooccur` mode, where an OOV token still costs window distance).
+    * `pos` is strictly increasing either way; pairs farther than
+    * `window` apart get skipped, the rest weigh 1/distance. Emits
+    * focus←context, plus the mirror when symmetric.
     */
+  private def emitPairs(pos: Array[Int], ids: Array[Int], window: Int,
+      symmetric: Boolean): Seq[Cooc] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Cooc]
+    val n = ids.length
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && pos(j) - pos(i) <= window) {
+        val wt = 1.0 / (pos(j) - pos(i))
+        out += Cooc(ids(j), ids(i), wt)
+        if (symmetric) out += Cooc(ids(i), ids(j), wt)
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Id-space matrix with a DISTRIBUTED vocabulary (the large-V path):
     * tokens join the vocab DataFrame (broadcast by Spark when small,
     * shuffled when not — never collected to the driver), per-document
-    * sequences are rebuilt in original order with OOV removed, then the
-    * same O(n·w) kernel runs over id arrays. Output ≡ [[matrix]]
-    * (property-tested); use this when the vocab Map would not fit the
-    * driver (V ≳ tens of millions).
+    * (position, id) sequences are rebuilt in original order with OOV
+    * removed, then the same O(n·w) kernel runs over the arrays. Output
+    * ≡ [[matrix]] for both distance modes (property-tested); use this
+    * when the vocab Map would not fit the driver (V ≳ tens of millions).
+    *
+    * `distanceOverOriginalPositions = true` selects the canonical
+    * toolkit's distance semantics: OOV tokens are dropped from the
+    * output but still occupy their original positions, so a kept pair
+    * straddling OOV tokens is farther apart (and may fall outside the
+    * window). Default false = distances re-measured over kept tokens,
+    * the common faithful-port variant.
     */
   def matrixViaJoin(
       documents: DataFrame,
@@ -87,34 +111,29 @@ object Cooccurrence {
       window: Int,
       idCol: String = "doc_id",
       textCol: String = "text",
-      symmetric: Boolean = true): Dataset[Cooc] = {
+      symmetric: Boolean = true,
+      distanceOverOriginalPositions: Boolean = false): Dataset[Cooc] = {
     val spark = documents.sparkSession
     import spark.implicits._
     val w = window
+    val canonical = distanceOverOriginalPositions
     documents
       .select(col(idCol).as("did"), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
       .join(vocab.select(col("w"), col("id0")), "w")
       .groupBy("did")
-      .agg(org.apache.spark.sql.functions.transform(
-        array_sort(collect_list(struct(col("pos"), col("id0")))),
-        e => e.getField("id0")).as("ids"))
-      .select("ids")
-      .as[Seq[Int]]
-      .flatMap { ids =>
-        val n = ids.length
-        val out = scala.collection.mutable.ArrayBuffer.empty[Cooc]
-        var i = 0
-        while (i < n) {
-          var d = 1
-          while (d <= w && i + d < n) {
-            val wt = 1.0 / d
-            out += Cooc(ids(i + d), ids(i), wt)
-            if (symmetric) out += Cooc(ids(i), ids(i + d), wt)
-            d += 1
-          }
-          i += 1
+      .agg(array_sort(collect_list(struct(col("pos"), col("id0")))).as("pid"))
+      .select("pid")
+      .as[Seq[(Int, Int)]]
+      .flatMap { pid =>
+        val n = pid.length
+        val pos = new Array[Int](n); val ids = new Array[Int](n)
+        var k = 0
+        pid.foreach { case (p, id0) =>
+          pos(k) = if (canonical) p else k
+          ids(k) = id0
+          k += 1
         }
-        out
+        emitPairs(pos, ids, w, symmetric)
       }
       .groupByKey(c => (c.i, c.j))
       .mapValues(_.x)
@@ -122,35 +141,41 @@ object Cooccurrence {
       .map { case ((i, j), x) => Cooc(i, j, x) }
   }
 
+  /** Id-space sparse matrix for training (broadcast-vocabulary path):
+    * tokens outside `vocab` are dropped, ids come from the broadcast
+    * word → 0-based-id map. Distance semantics as in [[matrixViaJoin]]:
+    * re-measured over kept tokens by default, canonical original-position
+    * distances behind `distanceOverOriginalPositions`.
+    */
   def matrix(
       documents: DataFrame,
       vocab: Map[String, Int],
       window: Int,
       textCol: String = "text",
-      symmetric: Boolean = true): Dataset[Cooc] = {
+      symmetric: Boolean = true,
+      distanceOverOriginalPositions: Boolean = false): Dataset[Cooc] = {
     val spark = documents.sparkSession
     import spark.implicits._
     val bVocab = spark.sparkContext.broadcast(vocab)
+    val canonical = distanceOverOriginalPositions
     documents
       .select(split(col(textCol), " ").as("toks"))
       .as[Seq[String]]
       .flatMap { toks =>
         val v = bVocab.value
-        val ids = toks.iterator.flatMap(v.get).toArray
-        val n = ids.length
-        val out = scala.collection.mutable.ArrayBuffer.empty[Cooc]
-        var i = 0
-        while (i < n) {
-          var d = 1
-          while (d <= window && i + d < n) {
-            val wt = 1.0 / d
-            out += Cooc(ids(i + d), ids(i), wt)
-            if (symmetric) out += Cooc(ids(i), ids(i + d), wt)
-            d += 1
+        val posBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val idsBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var p = 0
+        toks.foreach { t =>
+          v.get(t) match {
+            case Some(id) =>
+              posBuf += (if (canonical) p else idsBuf.length)
+              idsBuf += id
+            case None => ()
           }
-          i += 1
+          p += 1
         }
-        out
+        emitPairs(posBuf.toArray, idsBuf.toArray, window, symmetric)
       }
       .groupByKey(c => (c.i, c.j))
       .mapValues(_.x)

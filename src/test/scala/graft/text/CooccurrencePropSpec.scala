@@ -38,6 +38,61 @@ class CooccurrencePropSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("canonical distance mode equals kept-token mode when nothing is OOV") {
+    val vocab = Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 4)
+    val vocabDf = spark.createDataFrame(vocab.toSeq).toDF("w", "id0")
+    for (docs <- samples(corpusGen, 4); w <- Seq(1, 3)) {
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      def cells(m: org.apache.spark.sql.Dataset[Cooc]) =
+        m.collect().map(c => (c.i, c.j) -> c.x).toMap
+      val kept = cells(Cooccurrence.matrix(df, vocab, w))
+      val canon = cells(Cooccurrence.matrix(df, vocab, w,
+        distanceOverOriginalPositions = true))
+      assert(kept.keySet == canon.keySet)
+      kept.foreach { case (k, x) => assert(math.abs(canon(k) - x) < 1e-9, s"$k") }
+      // distributed-vocab path agrees in canonical mode too
+      val canonJoin = cells(Cooccurrence.matrixViaJoin(df, vocabDf, w,
+        distanceOverOriginalPositions = true))
+      assert(canon.keySet == canonJoin.keySet)
+      canon.foreach { case (k, x) => assert(math.abs(canonJoin(k) - x) < 1e-9) }
+    }
+  }
+
+  test("canonical mode: OOV tokens still cost window distance") {
+    val docs = spark.createDataFrame(Seq((0L, "a oov b"))).toDF("doc_id", "text")
+    val vocab = Map("a" -> 0, "b" -> 1)
+    // window 1: the a..b original distance is 2 -> no pair in canonical
+    // mode, while kept-token mode re-measures the distance to 1
+    assert(Cooccurrence.matrix(docs, vocab, 1,
+      distanceOverOriginalPositions = true).collect().isEmpty)
+    val kept1 = Cooccurrence.matrix(docs, vocab, 1).collect()
+    assert(kept1.map(c => ((c.i, c.j), c.x)).toMap ==
+      Map((0, 1) -> 1.0, (1, 0) -> 1.0))
+    // window 2: canonical weighs the pair 1/2, kept-token mode 1/1
+    val canon2 = Cooccurrence.matrix(docs, vocab, 2,
+      distanceOverOriginalPositions = true).collect()
+    assert(canon2.map(c => ((c.i, c.j), c.x)).toMap ==
+      Map((0, 1) -> 0.5, (1, 0) -> 0.5))
+  }
+
+  test("canonical mass never exceeds kept-token mass (OOV vocab subsets)") {
+    val vocab = Map("a" -> 0, "b" -> 1, "c" -> 2) // d, e are OOV
+    for (docs <- samples(corpusGen, 4); w <- Seq(2, 3)) {
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      def mass(m: org.apache.spark.sql.Dataset[Cooc]) =
+        m.collect().map(_.x).sum
+      val kept = mass(Cooccurrence.matrix(df, vocab, w))
+      val canon = mass(Cooccurrence.matrix(df, vocab, w,
+        distanceOverOriginalPositions = true))
+      assert(canon <= kept + 1e-9, s"canonical mass $canon > kept $kept")
+      // and the two distributed-vocab variants match their map twins
+      val vocabDf = spark.createDataFrame(vocab.toSeq).toDF("w", "id0")
+      val canonJoin = mass(Cooccurrence.matrixViaJoin(df, vocabDf, w,
+        distanceOverOriginalPositions = true))
+      assert(math.abs(canonJoin - canon) < 1e-9)
+    }
+  }
+
   test("aggregated matrix is symmetric on generated corpora") {
     for (docs <- samples(corpusGen, 6)) {
       val df = spark.createDataFrame(docs).toDF("doc_id", "text")
