@@ -114,7 +114,15 @@ object ExtensionQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // Production path: blocked exact top-pairs (shuffle O(n·B), bounded
+  // task memory, candidate-only final top-k — see Similarity.scaladoc
+  // for why LSH cannot serve an exact no-floor top-k on this sim
+  // regime). The all-pairs theta-join stays pinned as
+  // ext_sim_pairs_allpairs; both hash-match the same DuckDB oracle.
   def extSimPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockTopPairs(t(s, dir, "embeddings"), limit = 50, nBlocks = 8)
+
+  def extSimPairsAllPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.topSimilarPairs(t(s, dir, "embeddings"), limit = 50)
 
   // IVF with nProbe = kCentroids is exhaustive, so this declared query
@@ -314,6 +322,7 @@ object ExtensionQueries {
     "ext_ngram_neardup" -> (extNgramNearDup _),
     "ext_embed_topk" -> (extEmbedTopK _),
     "ext_sim_pairs" -> (extSimPairs _),
+    "ext_sim_pairs_allpairs" -> (extSimPairsAllPairs _),
     "ext_ivf_topk" -> (extIvfTopK _),
     "ext_ann_topk" -> (extAnnTopK _),
     "ext_salted_join" -> (extSaltedJoin _),
@@ -347,6 +356,14 @@ object ExtensionQueries {
       |  row_number() over (partition by probe_id order by sim desc, vec_id) rank from sims)
       |select probe_id, vec_id, sim, rank from ranked
       |where rank <= 5 order by probe_id, rank""".stripMargin
+
+  private val simPairsSql: String =
+    """with e as (select vec_id, cast(embedding as double[]) v from embeddings)
+      |select a.vec_id id_a, b.vec_id id_b,
+      |  round(list_dot_product(a.v,b.v)
+      |    /(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),4) sim
+      |from e a join e b on a.vec_id < b.vec_id
+      |order by sim desc, id_a, id_b limit 50""".stripMargin
 
   private def langScoreSql(markers: Seq[String]): String =
     markers.map { m =>
@@ -397,13 +414,8 @@ object ExtensionQueries {
 
     "ext_embed_topk" -> embedTopKSql,
 
-    "ext_sim_pairs" ->
-      """with e as (select vec_id, cast(embedding as double[]) v from embeddings)
-        |select a.vec_id id_a, b.vec_id id_b,
-        |  round(list_dot_product(a.v,b.v)
-        |    /(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),4) sim
-        |from e a join e b on a.vec_id < b.vec_id
-        |order by sim desc, id_a, id_b limit 50""".stripMargin,
+    "ext_sim_pairs" -> simPairsSql,
+    "ext_sim_pairs_allpairs" -> simPairsSql,
 
     "ext_ivf_topk" -> embedTopKSql,
     // ext_ann_topk has NO oracle (approximate; see the query's comment).

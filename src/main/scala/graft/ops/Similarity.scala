@@ -49,8 +49,9 @@ object Similarity {
   }
 
   /** Top-`limit` most-similar distinct pairs in the corpus (embedding
-    * near-duplicate detection). All-pairs formulation — the oracle/spec;
-    * use [[lshTopKCandidates]]-style bucketing at scale.
+    * near-duplicate detection). All-pairs theta-join formulation — the
+    * oracle/spec; the production path is [[blockTopPairs]], which
+    * computes the identical result without a quadratic join.
     */
   def topSimilarPairs(corpus: DataFrame, limit: Int, roundTo: Int = 4): DataFrame = {
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -58,6 +59,102 @@ object Similarity {
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosineSim(corpus, col("va"), col("vb")), roundTo).as("sim"))
+      .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
+      .limit(limit)
+  }
+
+  /** One side-tagged replica of a vector for a block-pair task. */
+  case class BlockedVec(lo: Int, hi: Int, blk: Int, id: Long, v: Array[Float])
+  case class SimPair(id_a: Long, id_b: Long, sim: Double)
+
+  /** Production formulation of [[topSimilarPairs]]: EXACT global top-k
+    * most-similar pairs via block-pair partitioning, hash-identical to
+    * the all-pairs oracle.
+    *
+    * Why not LSH here: global top-k pairs with no similarity floor is
+    * only sub-quadratic when the top pairs are separated from the bulk.
+    * On this corpus the rank-50 pair sits at cos ≈ 0.41 while the p99 of
+    * random pairs is ≈ 0.29 — sign-random-projection collision
+    * probabilities there are 0.633 vs 0.597 per bit, so NO banding
+    * geometry can recall the top pairs without admitting nearly every
+    * pair (and that is the general regime: exact top-k pair mining is
+    * inherently O(n²) similarity evaluations). The scalable organization
+    * of that work is what matters:
+    *
+    *  - each vector lands in one of B blocks (hash of its id) and is
+    *    replicated to the B block-pair tasks involving its block —
+    *    shuffle volume is O(n·B·d), never O(n²);
+    *  - each of the B(B+1)/2 tasks holds ≲ 2n/B vectors in memory,
+    *    computes its local pairs in a tight double-precision loop, and
+    *    keeps only its top `limit` in a bounded heap — task output is
+    *    O(B²·limit) rows, so the final global top-k is a
+    *    TakeOrderedAndProject over candidates, not a sort of n² rows;
+    *  - B tunes memory/parallelism: pick B ≈ 2·n·d·4B / executor-mem so
+    *    a task's two blocks fit comfortably; tasks scale horizontally.
+    *
+    * Cosine + rounding replicate the oracle arithmetic exactly
+    * (ascending-index double accumulation, HALF_UP rounding), so the
+    * result is bit-equal to [[topSimilarPairs]] — asserted in
+    * SimilaritySpec and by ext_sim_pairs sharing the DuckDB oracle.
+    */
+  def blockTopPairs(corpus: DataFrame, limit: Int, nBlocks: Int = 8,
+      roundTo: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lim = limit
+    val rt = roundTo
+    val replicas = corpus
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"),
+        pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
+      .select(col("id"), col("v"), col("blk"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("other"))
+      .select(least(col("blk"), col("other")).as("lo"),
+        greatest(col("blk"), col("other")).as("hi"),
+        col("blk"), col("id"), col("v"))
+      .as[BlockedVec]
+
+    replicas
+      .groupByKey(r => (r.lo, r.hi))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[BlockedVec]) =>
+        val (lo, hi) = key
+        val aSide = scala.collection.mutable.ArrayBuffer.empty[BlockedVec]
+        val bSide = scala.collection.mutable.ArrayBuffer.empty[BlockedVec]
+        it.foreach(r => if (r.blk == lo) aSide += r else bSide += r)
+        // heap keeps the `lim` best under (sim desc, id_a asc, id_b asc);
+        // its head is the WORST kept pair, evicted on overflow
+        val worstFirst: Ordering[SimPair] =
+          Ordering.by((p: SimPair) => (-p.sim, p.id_a, p.id_b))
+        val heap = scala.collection.mutable.PriorityQueue.empty[SimPair](worstFirst)
+        def cosRounded(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < a.length) {
+            val xi = a(i).toDouble; val yi = b(i).toDouble
+            dot += xi * yi; na += xi * xi; nb += yi * yi
+            i += 1
+          }
+          BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+            .setScale(rt, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        def push(x: BlockedVec, y: BlockedVec): Unit = {
+          val s = cosRounded(x.v, y.v)
+          val p = if (x.id < y.id) SimPair(x.id, y.id, s) else SimPair(y.id, x.id, s)
+          heap += p
+          if (heap.size > lim) heap.dequeue()
+        }
+        if (lo == hi) {
+          var i = 0
+          while (i < aSide.length) {
+            var j = i + 1
+            while (j < aSide.length) { push(aSide(i), aSide(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          aSide.foreach(x => bSide.foreach(y => push(x, y)))
+        }
+        heap.toSeq
+      }
+      .toDF()
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(limit)
   }

@@ -51,6 +51,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(nCands < nBrute / 2, s"candidates $nCands not much smaller than $nBrute")
   }
 
+  test("blocked top-pairs equals the all-pairs oracle for any block count") {
+    val expected = Similarity.topSimilarPairs(emb, limit = 50).collect().toSeq
+    for (b <- Seq(1, 3, 8)) {
+      val got = Similarity.blockTopPairs(emb, limit = 50, nBlocks = b).collect().toSeq
+      assert(got == expected, s"blockTopPairs(nBlocks=$b) diverged from all-pairs")
+    }
+  }
+
+  test("blocked top-pairs plans with no join and a top-k sort (scale shape)") {
+    val df = Similarity.blockTopPairs(emb, limit = 50, nBlocks = 8)
+    val s = df.queryExecution.sparkPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin")
+      && !s.contains("SortMergeJoin"),
+      s"blocked path grew a join:\n${s.take(2000)}")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"global top-k is not TakeOrderedAndProject:\n${s.take(2000)}")
+  }
+
   test("hyperplane code is deterministic") {
     val a = emb.select(Similarity.hyperplaneCode(col("embedding"), 64, 16)).collect()
     val b = emb.select(Similarity.hyperplaneCode(col("embedding"), 64, 16)).collect()
