@@ -147,6 +147,38 @@ object ExtensionQueries {
       .orderBy("probe_id", "rank")
   }
 
+  // Measured recall of BOTH approximate ANN paths against the exact
+  // brute-force result, as a hashable oracle entry: probes are exact
+  // copies of vectors 0..9 planted under an offset id namespace, so the
+  // exact top-1 of each probe is its original (cos = 1.0) and any
+  // correct ANN index must retrieve it — an identical vector always
+  // shares its original's LSH code (every segment collides) and its
+  // nearest centroid cell (nProbe = 1, the maximally approximate IVF
+  // regime). Recall is computed by joining the approximate top-1 to the
+  // exact top-1, not assumed, and is deterministically 1.0 at every
+  // scale factor. Unplanted recall (data-dependent, not pinnable) stays
+  // property-gated in SimilaritySpec / IvfSpec.
+  def extAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val exact1 = Similarity.bruteForceTopK(emb, probes, k = 1)
+      .select("probe_id", "vec_id")
+    def recallOf(path: String, approx: DataFrame): DataFrame = {
+      val hits = exact1.join(approx.select("probe_id", "vec_id"),
+        Seq("probe_id", "vec_id"), "left_semi")
+      exact1.agg(count(lit(1)).as("n_probes"))
+        .crossJoin(hits.agg(count(lit(1)).as("hits")))
+        .select(lit(path).as("path"), col("n_probes"), col("hits"),
+          round(col("hits").cast("double") / col("n_probes"), 4).as("recall"))
+    }
+    recallOf("ivf_nprobe1",
+        Ivf.topK(emb, probes, k = 1, kCentroids = 16, nProbe = 1, iters = 2))
+      .unionAll(recallOf("lsh_16bit_r3",
+        Similarity.lshTopK(emb, probes, dim = 64, k = 1)))
+      .orderBy("path")
+  }
+
   // ---- skew mitigation (E-13) --------------------------------------------
   // Salted equi-join (orders replicated over 8 salt buckets so a hot
   // orderkey spreads across reducers) feeding a two-level salted
@@ -325,6 +357,7 @@ object ExtensionQueries {
     "ext_sim_pairs_allpairs" -> (extSimPairsAllPairs _),
     "ext_ivf_topk" -> (extIvfTopK _),
     "ext_ann_topk" -> (extAnnTopK _),
+    "ext_ann_recall" -> (extAnnRecall _),
     "ext_salted_join" -> (extSaltedJoin _),
     "ext_langid" -> (extLangId _),
     "ext_quality" -> (extQuality _),
@@ -419,6 +452,16 @@ object ExtensionQueries {
 
     "ext_ivf_topk" -> embedTopKSql,
     // ext_ann_topk has NO oracle (approximate; see the query's comment).
+
+    // Pinned planted-probe recall contract: both ANN paths must achieve
+    // measured recall 1.0 on exact-copy probes (see extAnnRecall's
+    // scaladoc for why this is deterministic at every scale factor).
+    "ext_ann_recall" ->
+      """select * from (values
+        |  ('ivf_nprobe1',  cast(10 as bigint), cast(10 as bigint), cast(1.0 as double)),
+        |  ('lsh_16bit_r3', cast(10 as bigint), cast(10 as bigint), cast(1.0 as double)))
+        |  t(path, n_probes, hits, recall)
+        |order by path""".stripMargin,
 
     "ext_salted_join" ->
       """select o_orderstatus, round(sum(l_extendedprice),2) rev
