@@ -97,6 +97,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"expected 2 broadcast joins:\n${s.take(2000)}")
   }
 
+  test("umbrella: no CartesianProduct/BroadcastNestedLoopJoin in any query plan " +
+      "outside the documented probe/all-pairs patterns") {
+    // Allowlisted queries deliberately contain a nested-loop stage, each
+    // of a scale-safe shape — the broadcast side is O(1) rows or an
+    // explicitly-small probe/model table, never a second fact table:
+    val allow = Set(
+      "b10",                  // probe pattern: corpus × broadcast(5 probes)
+      "ext_embed_topk",       // brute-force baseline, same probe pattern
+      "ext_ann_recall",       // brute-force oracle + 1-row agg × 1-row agg
+      "ext_ivf_topk",         // corpus × broadcast(16 centroids)
+      "ext_sim_pairs_allpairs", // all-pairs ORACLE pin (production path
+                                // ext_sim_pairs is blocked, no BNLJ)
+      "q29",                  // tf × broadcast(1-row total-doc count)
+      "ext_lm_score")         // tokens × broadcast(1-row total-count)
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val s = q(spark, sf001).queryExecution.sparkPlan.toString
+        val hits = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(s.contains)
+        if (hits.nonEmpty && !allow(name)) Some(s"$name(${hits.mkString("+")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-unsafe join shapes in: ${offenders.mkString(", ")}")
+  }
+
   test("B10 native cosine is in the plan; codegen compiles it in a projection") {
     val df = ContractQueries.b10(spark, sf001)
     val s = df.queryExecution.sparkPlan.toString
