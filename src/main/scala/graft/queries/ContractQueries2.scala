@@ -315,6 +315,26 @@ object ContractQueries2 {
       .orderBy("c_custkey")
       .limit(50)
 
+  // ---- Q65 sliding-window expansion (W-family / ST-2 anchor) -------------
+  // Batch formulation of the 1h/15min sliding-window count as pure epoch
+  // arithmetic: every event belongs to exactly ceil(3600/900)=4 windows,
+  // whose starts are floor(epoch/900)*900 - {0,1,2,3}*900. This is the
+  // engine-independent form DuckDB runs as the oracle, and StreamingSpec
+  // ST-2 replay-compares Streams.slidingCounts against THIS query — so
+  // the streaming path is anchored to the cross-engine oracle, not to
+  // Spark's own window() implementation.
+  def q65Sliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 900) * 900).cast("long").as("top"))
+      .select(col("event_type"), col("top"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .select(timestamp_seconds(col("top") - col("i") * 900).as("ws"),
+        col("event_type"))
+      .groupBy("ws", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("ws", "event_type")
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -330,5 +350,6 @@ object ContractQueries2 {
     "q60_median" -> (q60Median _), "q61_supplier" -> (q61Supplier _),
     "q62_csv_roundtrip" -> (q62CsvRoundtrip _),
     "q63_orc_roundtrip" -> (q63OrcRoundtrip _),
-    "q64_rightouter" -> (q64RightOuter _))
+    "q64_rightouter" -> (q64RightOuter _),
+    "q65_sliding" -> (q65Sliding _))
 }

@@ -166,6 +166,15 @@ object OracleSql2 {
         |join nation on s_nationkey=n_nationkey
         |group by n_name order by n_name""".stripMargin,
 
+    "q65_sliding" ->
+      """with e as (select event_type,
+        |  cast(floor(epoch(ts)/900)*900 as bigint) top from events),
+        |x as (select event_type, top - 900*i.generate_series ws_epoch
+        |  from e cross join generate_series(0,3) i)
+        |select make_timestamp(ws_epoch*1000000) ws, event_type,
+        |  count(*) cnt
+        |from x group by 1,2 order by 1,2""".stripMargin,
+
     "q55_dates2" ->
       """select o_orderkey, cast(date_trunc('month', o_orderdate) as timestamp) m,
         | cast(cast(o_orderdate as date) + interval 1 month as date) am,

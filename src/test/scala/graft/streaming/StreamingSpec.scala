@@ -51,13 +51,14 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(got) == canon(expected))
   }
 
-  test("ST-2 sliding window replay equals batch window() aggregation") {
+  test("ST-2 sliding window replay equals the oracle-anchored expansion (q65)") {
     val stream = Streams.slidingCounts(Streams.readEvents(spark, eventsDir))
     val got = replay(stream, "complete")
-    val expected = batchEvents
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+    // q65_sliding is the pure-epoch-arithmetic window expansion that the
+    // driver hash-checks against DuckDB — comparing the replay to it
+    // anchors the streaming path to the cross-engine oracle rather than
+    // to Spark's own window() implementation.
+    val expected = graft.queries.ContractQueries2.q65Sliding(spark, sf0001)
     assert(canon(got) == canon(expected))
     // each event lands in exactly 4 sliding windows
     val totalInWindows = got.agg(sum("cnt")).collect()(0).getLong(0)
