@@ -107,6 +107,31 @@ object ExtensionQueries {
       .limit(50)
   }
 
+  // ---- near-dup clustering: pairs -> connected components ----------------
+  // The full dedup-grouping path: MinHash-LSH near-dup PAIRS at tau=0.5
+  // (64x2 banding — effectively exact recall, see extMinhashNearDup's
+  // geometry note) become edges; ConnectedComponents turns them into
+  // duplicate clusters labeled by their minimum doc_id. The DuckDB
+  // oracle recomputes the same clusters from the exact all-pairs
+  // Jaccard graph with a recursive transitive-closure CTE, so this
+  // entry hash-gates candidate generation, recheck, AND the iterative
+  // component algorithm in one go.
+  // The contract slice is bounded to doc_id < 1000 (the full sf0.01
+  // table; a fixed slice above that): at sf0.1 the corpus holds ~9M
+  // tau>=0.5 pairs, which the ENGINE clusters fine but the all-pairs
+  // DuckDB oracle cannot rebuild in bounded time. Full-corpus clustering
+  // runs un-sliced inside CorpusPipeline and ConnectedComponentsSpec.
+  def extComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+    val pairs = Dedup.minhashNearDupPairsFromSets(
+      docs, "doc_id", Dedup.tokenSet(col("text")),
+      threshold = 0.5, bands = 64, rowsPerBand = 2)
+    ConnectedComponents.components(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
   // ---- similarity search --------------------------------------------------
   def extEmbedTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -352,6 +377,7 @@ object ExtensionQueries {
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
     "ext_ngram_neardup" -> (extNgramNearDup _),
+    "ext_components" -> (extComponents _),
     "ext_embed_topk" -> (extEmbedTopK _),
     "ext_sim_pairs" -> (extSimPairs _),
     "ext_sim_pairs_allpairs" -> (extSimPairsAllPairs _),
@@ -444,6 +470,23 @@ object ExtensionQueries {
         |where len(a.g)>0 and len(b.g)>0
         |  and cast(len(list_intersect(a.g,b.g)) as double)/len(list_distinct(list_concat(a.g,b.g))) >= 0.4
         |order by jac3 desc, da, db limit 50""".stripMargin,
+
+    // Exact clusters from the all-pairs tau=0.5 Jaccard graph: the
+    // recursive CTE is the transitive closure, component = min reachable
+    // id (including self via the symmetric edge set).
+    "ext_components" ->
+      """with recursive d as (select doc_id, list_distinct(string_split(text,' ')) s
+        |  from documents where doc_id < 1000),
+        |pairs as (select a.doc_id u, b.doc_id v from d a join d b on a.doc_id < b.doc_id
+        |  where len(a.s) > 0 and len(b.s) > 0
+        |    and cast(len(list_intersect(a.s,b.s)) as double)
+        |        / len(list_distinct(list_concat(a.s,b.s))) >= 0.5),
+        |edges as (select u, v from pairs union select v, u from pairs),
+        |r(a, b) as (select u, v from edges
+        |  union
+        |  select r.a, e.v from r join edges e on r.b = e.u)
+        |select a doc_id, least(a, min(b)) component
+        |from r group by a order by doc_id""".stripMargin,
 
     "ext_embed_topk" -> embedTopKSql,
 
