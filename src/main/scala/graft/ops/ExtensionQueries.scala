@@ -242,6 +242,26 @@ object ExtensionQueries {
       .orderBy("doc_id")
       .limit(100)
 
+  // ---- chunking (E-23): overlapping token windows ------------------------
+  // Pure projection (no shuffle); the oracle rebuilds the same windows
+  // with DuckDB list slicing. Bounded to doc_id < 100 to keep the
+  // oracle's output stable in size across SFs.
+  def extChunk(s: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.chunkDocs(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        chunkSize = 40, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
+  // ---- sequence packing (E-24): token-capacity bins ----------------------
+  // Production path is the scalable two-phase prefix sum (no
+  // single-partition stage); it is property-tested byte-identical to
+  // the window form, and the DuckDB oracle runs the window formulation.
+  def extPack(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokenCounts(t(s, dir, "documents"))
+      .select(col("doc_id"), col("ws_tokens").as("n_tokens"))
+    Packing.binSummary(Packing.packScalable(toks, capacity = 2048))
+  }
+
   // ---- deterministic sampling suite (E-20) -------------------------------
   // Exact-k uniform sample: order by sha256(key) — plans as
   // TakeOrderedAndProject, no global sort, reproducible on any engine.
@@ -378,6 +398,8 @@ object ExtensionQueries {
     "ext_simhash_neardup" -> (extSimhashNearDup _),
     "ext_ngram_neardup" -> (extNgramNearDup _),
     "ext_components" -> (extComponents _),
+    "ext_chunk" -> (extChunk _),
+    "ext_pack" -> (extPack _),
     "ext_embed_topk" -> (extEmbedTopK _),
     "ext_sim_pairs" -> (extSimPairs _),
     "ext_sim_pairs_allpairs" -> (extSimPairsAllPairs _),
@@ -487,6 +509,32 @@ object ExtensionQueries {
         |  select r.a, e.v from r join edges e on r.b = e.u)
         |select a doc_id, least(a, min(b)) component
         |from r group by a order by doc_id""".stripMargin,
+
+    // Same overlapping windows (chunkSize=40, overlap=8 -> stride=32)
+    // rebuilt with DuckDB list slicing.
+    "ext_chunk" ->
+      """with d as (select doc_id, string_split(text,' ') toks from documents
+        |  where doc_id < 100),
+        |c as (select doc_id, toks, len(toks) n,
+        |  case when len(toks) <= 40 then 1
+        |       else cast(floor((len(toks) - 40 + 31)::double / 32) as int) + 1 end nc
+        |  from d),
+        |x as (select doc_id, toks, n, unnest(generate_series(0, nc - 1)) chunk_id from c)
+        |select doc_id, cast(chunk_id as bigint) chunk_id,
+        |  cast(least(n - chunk_id*32, 40) as bigint) chunk_tokens,
+        |  array_to_string(list_slice(toks, chunk_id*32 + 1, chunk_id*32 + 40), ' ') chunk
+        |from x order by doc_id, chunk_id""".stripMargin,
+
+    // Window-cumsum formulation of linear packing at capacity 2048.
+    "ext_pack" ->
+      """with d as (select doc_id,
+        |  cast(len(list_filter(string_split(text,' '), t -> t <> '')) as bigint) n
+        |  from documents),
+        |c as (select doc_id, n, coalesce(sum(n) over (order by doc_id
+        |  rows between unbounded preceding and 1 preceding), 0) cb from d)
+        |select cb // 2048 bin, count(*) n_docs, sum(n) bin_tokens,
+        |  min(doc_id) first_doc, max(doc_id) last_doc
+        |from c group by 1 order by 1""".stripMargin,
 
     "ext_embed_topk" -> embedTopKSql,
 

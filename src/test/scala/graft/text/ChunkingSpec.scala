@@ -1,0 +1,49 @@
+package graft.text
+
+import graft.{SparkFixture, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkingSpec extends AnyFunSuite with SparkFixture {
+
+  private def chunksOf(text: String, size: Int, overlap: Int): Seq[(Long, Long, String)] = {
+    import spark.implicits._
+    Chunking.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"), size, overlap)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+  }
+
+  test("short document yields one chunk equal to itself") {
+    assert(chunksOf("a b c", 5, 2) == Seq((0L, 3L, "a b c")))
+    assert(chunksOf("a b c d e", 5, 2) == Seq((0L, 5L, "a b c d e")))
+  }
+
+  test("overlapping windows advance by stride and cover the tail") {
+    // 7 tokens, size 5, overlap 2 -> stride 3 -> chunks at 0 and 3
+    assert(chunksOf("t0 t1 t2 t3 t4 t5 t6", 5, 2) ==
+      Seq((0L, 5L, "t0 t1 t2 t3 t4"), (1L, 4L, "t3 t4 t5 t6")))
+  }
+
+  test("every token is covered; dropping the overlap reconstructs the document") {
+    val docs = Tables.table(spark, sf0001, "documents").limit(50)
+    val size = 12; val overlap = 4; val stride = size - overlap
+    val chunks = Chunking.chunkDocs(docs, size, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val originals = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- originals) {
+      val cs = chunks(id)
+      // chunk 0 whole + later chunks minus their leading overlap tokens
+      val rebuilt = (cs.head.split(" ", -1) ++
+        cs.tail.flatMap(_.split(" ", -1).drop(overlap))).mkString(" ")
+      assert(rebuilt == text, s"doc $id not reconstructed")
+      assert(cs.forall(_.split(" ", -1).length <= size))
+      // consecutive chunks share exactly the overlap region
+      for (Seq(a, b) <- cs.sliding(2).filter(_.size == 2)) {
+        assert(a.split(" ", -1).drop(stride).take(overlap).toSeq ==
+          b.split(" ", -1).take(overlap).toSeq.take(
+            math.min(overlap, b.split(" ", -1).length)))
+      }
+    }
+  }
+}
