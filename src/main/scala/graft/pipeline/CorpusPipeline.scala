@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.ops.{Dedup, Sampling}
+import graft.ops.{ConnectedComponents, Dedup, Sampling}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
@@ -19,10 +19,12 @@ case class PipelineReport(
   *   MinHash near-dedup → optional per-language cap
   *
   * Every stage is a narrow projection or an already-scale-proven op.
-  * Near-dup removal keeps the smallest doc_id of each candidate pair
-  * (greedy by pair, which removes at least one of every duplicate pair;
-  * transitive clusters lose all but their minimum member as long as the
-  * cluster is pairwise-similar, the common case for crawl duplicates).
+  * Near-dup removal is cluster-based: qualifying pairs become edges,
+  * ConnectedComponents labels each duplicate cluster with its minimum
+  * doc_id, and every non-minimum member is dropped — so transitive
+  * chains (a~b, b~c with a≁c) still collapse to one representative,
+  * which greedy pair-dropping only guarantees for pairwise-similar
+  * cliques.
   *
   * Stage counts for the report ride the three real passes as
   * `Observation` (CollectMetrics) aggregates — they cost zero extra
@@ -90,11 +92,16 @@ class CorpusPipeline(
     val afterExact = exactKept.count() // action 2
     scored.unpersist()
 
-    val dupIds = Dedup.minhashNearDupPairsFromSets(
+    val pairs = Dedup.minhashNearDupPairsFromSets(
         exactKept, idCol, array_distinct(split(col(textCol), " ")),
         threshold = nearDupThreshold, bands = 64, rowsPerBand = 2)
-      .select(col("id_b").as(idCol)) // drop the larger id of each pair
-      .distinct()
+    // cluster the pair graph; drop every non-minimum cluster member
+    // (components() eagerly checkpoints its result, so the anti-join
+    // below never re-derives the pair pipeline)
+    val dupIds = ConnectedComponents.components(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
     val nearKept = exactKept.join(dupIds, Seq(idCol), "left_anti")
       .observe(obsNear, count(lit(1)).as("n"))
 

@@ -49,6 +49,22 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("near-dedup is cluster-based: transitive chains keep only the minimum") {
+    import spark.implicits._
+    // 1 ~ 3 (jac 6/12 = 0.5) and 2 ~ 3 (0.5), but 1 !~ 2 (0.0): the
+    // component {1,2,3} must collapse to doc 1. Greedy pair-dropping
+    // (drop the larger id of each pair) would wrongly keep doc 2.
+    val xs = (1 to 6).map("x" + _).mkString(" ")
+    val ys = (1 to 6).map("y" + _).mkString(" ")
+    val crafted = Seq((1L, xs), (2L, ys), (3L, s"$xs $ys"),
+      (50L, "unrelated filler document about ducks and rivers"))
+      .toDF("doc_id", "text")
+    val (out, r) = new CorpusPipeline(nearDupThreshold = 0.5).run(crafted)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 50L), s"expected cluster {1,2,3} -> keep 1, got $kept")
+    assert(r.afterExactDedup - r.afterNearDedup == 2)
+  }
+
   test("text stages execute exactly once (no recompute amplification)") {
     // A row-level accumulator in a typed filter directly under the source
     // counts every time a source row flows through the funnel's text
