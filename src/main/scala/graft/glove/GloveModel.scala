@@ -81,6 +81,18 @@ class GloveModel(
     Seq(GloveModelMeta(dim, lossHistory, params)).toDS()
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Export in the canonical GloVe text interchange format — one line
+    * per word, `word v1 … vd`, in vocabulary (frequency-rank) order,
+    * as downstream embedding loaders expect. Floats use Spark's
+    * shortest-round-trip rendering, so [[GloveModel.loadText]] restores
+    * them bit-exactly. One sorted file: this is an export surface for a
+    * (by nature driver-sized) vocabulary, not a compute path.
+    */
+  def saveText(path: String): Unit =
+    embeddings.coalesce(1).sortWithinPartitions("id")
+      .select(concat_ws(" ", col("word"), col("vec").cast("array<string>")))
+      .write.mode("overwrite").text(path)
 }
 
 /** On-disk model metadata (parquet keeps the map/array types exact). */
@@ -96,5 +108,22 @@ object GloveModel {
     val meta = spark.read.parquet(s"$path/meta").as[GloveModelMeta].head()
     new GloveModel(spark.read.parquet(s"$path/embeddings"),
       meta.dim, meta.lossHistory, meta.params)
+  }
+
+  /** Import the canonical text format ([[GloveModel.saveText]] or any
+    * toolkit-produced `word v1 … vd` file). The format carries no ids
+    * or loss history: ids are reassigned from line order (the format's
+    * implicit vocabulary rank — textFile partitions are contiguous byte
+    * ranges, so zipWithIndex yields global line numbers).
+    */
+  def loadText(spark: SparkSession, path: String): GloveModel = {
+    import spark.implicits._
+    val parsed = spark.sparkContext.textFile(path).zipWithIndex()
+      .map { case (line, idx) =>
+        val parts = line.split(" ")
+        (parts(0), (idx + 1).toInt, parts.drop(1).map(_.toFloat))
+      }.toDF("word", "id", "vec")
+    val dim = parsed.select(size(col("vec"))).head().getInt(0)
+    new GloveModel(parsed, dim, Nil, Map("format" -> "text"))
   }
 }

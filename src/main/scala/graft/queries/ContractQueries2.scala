@@ -335,6 +335,34 @@ object ContractQueries2 {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("ws", "event_type")
 
+  // ---- Q66 recursive CTE (iterative query evaluation) --------------------
+  // Per-customer order chains: the non-recursive prep links each order
+  // to the customer's next order (window lead), then the recursive
+  // member walks every chain from its head, counting hops. chain_len
+  // must equal the customer's order count — a structural cross-check —
+  // and DuckDB evaluates the identical ANSI text as the oracle. The
+  // recursion is data-driven (depth = max orders per customer), not a
+  // generator loop.
+  def q66Recursive(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+    s.sql(
+      """WITH RECURSIVE ranked AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) nx
+        |  FROM graft_orders_v
+        |),
+        |walk(custkey, okey, depth) AS (
+        |  SELECT o_custkey, o_orderkey, 1 FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w.custkey, r.nx, w.depth + 1
+        |  FROM walk w JOIN ranked r ON w.okey = r.o_orderkey
+        |  WHERE r.nx IS NOT NULL
+        |)
+        |SELECT custkey, cast(max(depth) as bigint) chain_len
+        |FROM walk GROUP BY custkey ORDER BY custkey LIMIT 100""".stripMargin)
+  }
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -351,5 +379,6 @@ object ContractQueries2 {
     "q62_csv_roundtrip" -> (q62CsvRoundtrip _),
     "q63_orc_roundtrip" -> (q63OrcRoundtrip _),
     "q64_rightouter" -> (q64RightOuter _),
-    "q65_sliding" -> (q65Sliding _))
+    "q65_sliding" -> (q65Sliding _),
+    "q66_recursive" -> (q66Recursive _))
 }

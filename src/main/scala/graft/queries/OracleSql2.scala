@@ -175,6 +175,23 @@ object OracleSql2 {
         |  count(*) cnt
         |from x group by 1,2 order by 1,2""".stripMargin,
 
+    "q66_recursive" ->
+      """WITH RECURSIVE ranked AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) nx
+        |  FROM orders
+        |),
+        |walk(custkey, okey, depth) AS (
+        |  SELECT o_custkey, o_orderkey, 1 FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w.custkey, r.nx, w.depth + 1
+        |  FROM walk w JOIN ranked r ON w.okey = r.o_orderkey
+        |  WHERE r.nx IS NOT NULL
+        |)
+        |SELECT custkey, cast(max(depth) as bigint) chain_len
+        |FROM walk GROUP BY custkey ORDER BY custkey LIMIT 100""".stripMargin,
+
     "q55_dates2" ->
       """select o_orderkey, cast(date_trunc('month', o_orderdate) as timestamp) m,
         | cast(cast(o_orderdate as date) + interval 1 month as date) am,

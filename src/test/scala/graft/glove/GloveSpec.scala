@@ -69,6 +69,23 @@ class GloveSpec extends AnyFunSuite with SparkFixture {
       m.findSynonyms("aa", 3).collect().toSeq)
   }
 
+  test("canonical text format round-trips vectors bit-exactly in rank order") {
+    val m = fit(iters = 5)
+    val dir = java.nio.file.Files.createTempDirectory("glove_txt").toString + "/vectors"
+    m.saveText(dir)
+    val loaded = GloveModel.loadText(spark, dir)
+    assert(loaded.dim == m.dim)
+    val orig = m.embeddings.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](2)))
+    val back = loaded.embeddings.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](2)))
+    assert(back.map(_._1).toSeq == orig.map(_._1).toSeq, "rank order lost")
+    assert(back.map(_._3).toSeq == orig.map(_._3).toSeq, "vectors not bit-exact")
+    // and the loaded model behaves identically
+    assert(loaded.findSynonyms("aa", 3).collect().toSeq ==
+      m.findSynonyms("aa", 3).collect().toSeq)
+  }
+
   test("transform produces doc vectors of the right shape") {
     val m = fit(iters = 5)
     val out = m.transform(corpus.limit(4))
