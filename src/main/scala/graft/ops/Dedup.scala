@@ -162,28 +162,8 @@ object Dedup {
     */
   def minhashNearDupPairsFromSets(docs: DataFrame, idCol: String, setCol: Column,
       threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    // hset: the set's elements hashed to longs and re-sorted — the
-    // recheck below runs on these via the native merge-walk
-    // sorted_long_jaccard (equal to string-set Jaccard, property-tested;
-    // string array_intersect/array_union over millions of candidate
-    // pairs was the measured recheck bottleneck at sf0.1).
-    val groups = docs
-      .select(col(idCol).as("id"), sort_array(setCol).as("set_"))
-      .groupBy("set_")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .withColumn("gid", element_at(col("ids"), 1))
-      .withColumn("hset", sort_array(transform(col("set_"), e => xxhash64(e))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val setPairs = minhashCandidatesFromSets(
-        groups.select(col("gid"), col("set_")), "gid", col("set_"),
-        bands, rowsPerBand)
-      .join(groups.select(col("gid").as("id_a"), col("hset").as("sa")), "id_a")
-      .join(groups.select(col("gid").as("id_b"), col("hset").as("sb")), "id_b")
-      .withColumn("jac", call_function("sorted_long_jaccard", col("sa"), col("sb")))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a").as("ga"), col("id_b").as("gb"), col("jac"))
+    val (groups, setPairs) =
+      setGroupsAndPairs(docs, idCol, setCol, threshold, bands, rowsPerBand)
 
     val cross = setPairs
       .join(groups.select(col("gid").as("ga"), col("ids").as("ids_a")), "ga")
@@ -200,6 +180,69 @@ object Dedup {
       .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("jac"))
 
     cross.unionAll(intra)
+  }
+
+  /** Shared stages 1-3 of the set-canonical near-dup pipeline: the
+    * persisted (set_, ids, gid, hset) group table and the qualifying
+    * SET-level pairs (ga, gb, jac).
+    *
+    * hset: the set's elements hashed to longs and re-sorted — the
+    * recheck runs on these via the native merge-walk
+    * sorted_long_jaccard (equal to string-set Jaccard, property-tested;
+    * string array_intersect/array_union over millions of candidate
+    * pairs was the measured recheck bottleneck at sf0.1).
+    */
+  private def setGroupsAndPairs(docs: DataFrame, idCol: String, setCol: Column,
+      threshold: Double, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val groups = docs
+      .select(col(idCol).as("id"), sort_array(setCol).as("set_"))
+      .groupBy("set_")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("gid", element_at(col("ids"), 1))
+      .withColumn("hset", sort_array(transform(col("set_"), e => xxhash64(e))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val setPairs = minhashCandidatesFromSets(
+        groups.select(col("gid"), col("set_")), "gid", col("set_"),
+        bands, rowsPerBand)
+      .join(groups.select(col("gid").as("id_a"), col("hset").as("sa")), "id_a")
+      .join(groups.select(col("gid").as("id_b"), col("hset").as("sb")), "id_b")
+      .withColumn("jac", call_function("sorted_long_jaccard", col("sa"), col("sb")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a").as("ga"), col("id_b").as("gb"), col("jac"))
+    (groups, setPairs)
+  }
+
+  /** Near-dup CLUSTER assignment at `threshold`: (idCol, component) for
+    * every document in a duplicate cluster of size >= 2, where component
+    * = the minimum member id. Clustering runs on the SET-representative
+    * graph — nodes are distinct token sets, never expanded member
+    * pairs — and the member expansion happens exactly once at the end.
+    *
+    * Label equivalence to member-level clustering: gid is the minimum
+    * member of its set, the set-graph component label is the minimum gid
+    * in the component, and intra-set members are trivially mutual
+    * near-dups (jac = 1.0), so min-gid = min member id of the whole
+    * member-level cluster. With heavy duplication |set graph| <<
+    * |member graph| (measured 7x funnel wall-time at sf0.1 when CC ran
+    * on the ~9M expanded pairs; the set graph is thousands of nodes).
+    */
+  def nearDupComponents(docs: DataFrame, idCol: String, setCol: Column,
+      threshold: Double, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val (groups, setPairs) =
+      setGroupsAndPairs(docs, idCol, setCol, threshold, bands, rowsPerBand)
+    val edged = ConnectedComponents.components(
+        setPairs.select(col("ga").as("src"), col("gb").as("dst")))
+      .select(col("node").as("gid"), col("component"))
+    // multi-member sets with no cross-set edge are a cluster on their own
+    val lone = groups.filter(size(col("ids")) > 1)
+      .select(col("gid"))
+      .join(edged.select("gid"), Seq("gid"), "left_anti")
+      .select(col("gid"), col("gid").as("component"))
+    edged.unionAll(lone)
+      .join(groups.select(col("gid"), col("ids")), "gid")
+      .select(explode(col("ids")).as(idCol), col("component"))
   }
 
   // ------------------------------------------------------------- SimHash

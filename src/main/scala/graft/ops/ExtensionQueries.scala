@@ -123,12 +123,8 @@ object ExtensionQueries {
   // runs un-sliced inside CorpusPipeline and ConnectedComponentsSpec.
   def extComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
-    val pairs = Dedup.minhashNearDupPairsFromSets(
-      docs, "doc_id", Dedup.tokenSet(col("text")),
-      threshold = 0.5, bands = 64, rowsPerBand = 2)
-    ConnectedComponents.components(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .select(col("node").as("doc_id"), col("component"))
+    Dedup.nearDupComponents(docs, "doc_id", Dedup.tokenSet(col("text")),
+        threshold = 0.5, bands = 64, rowsPerBand = 2)
       .orderBy("doc_id")
   }
 

@@ -66,6 +66,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"missed: ${(exactHalf -- found).take(5)}...; spurious: ${(found -- exactHalf).take(5)}")
   }
 
+  test("set-graph nearDupComponents equals member-graph clustering over expanded pairs") {
+    import org.apache.spark.sql.functions._
+    val setCol = Dedup.tokenSet(col("text"))
+    val viaSets = Dedup.nearDupComponents(docs, "doc_id", setCol,
+        threshold = 0.5, bands = 64, rowsPerBand = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashNearDupPairsFromSets(docs, "doc_id", setCol,
+      threshold = 0.5, bands = 64, rowsPerBand = 2)
+    val viaMembers = ConnectedComponents.components(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSets == viaMembers)
+    assert(viaSets.nonEmpty, "fixture should contain near-dup clusters")
+  }
+
   test("native minhash_signature is bit-equal to the composed HOF formulation") {
     graft.functions.GraftFunctions.register(spark)
     val hashed = docs.select(col("doc_id"),
