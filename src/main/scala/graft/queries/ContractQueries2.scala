@@ -363,6 +363,29 @@ object ContractQueries2 {
         |FROM walk GROUP BY custkey ORDER BY custkey LIMIT 100""".stripMargin)
   }
 
+  // ---- Q67 listagg / string aggregation (A-family, Spark 4 native) -------
+  // SQL-standard LISTAGG ... WITHIN GROUP; DuckDB's ordered string_agg
+  // is the oracle. Ordered concatenation makes the result deterministic.
+  def q67Listagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(expr("listagg(n_name, ',') within group (order by n_name)").as("nations"))
+      .orderBy("r_name")
+
+  // ---- Q68 approximate heavy hitters (A-family, Spark 4 native) ----------
+  // approx_top_k with maxItemsTracked >= the distinct count is exact, so
+  // the sketch path hash-matches the plain group-by-count oracle; k=3 of
+  // 5 event types has a strict count gap at the boundary at every SF
+  // (no tie ambiguity). The sketch output (array of structs) is exploded
+  // back to rows.
+  def q68ApproxTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(expr("approx_top_k(event_type, 3, 100)").as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+      .orderBy(desc("cnt"), asc("event_type"))
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -380,5 +403,7 @@ object ContractQueries2 {
     "q63_orc_roundtrip" -> (q63OrcRoundtrip _),
     "q64_rightouter" -> (q64RightOuter _),
     "q65_sliding" -> (q65Sliding _),
-    "q66_recursive" -> (q66Recursive _))
+    "q66_recursive" -> (q66Recursive _),
+    "q67_listagg" -> (q67Listagg _),
+    "q68_approx_topk" -> (q68ApproxTopK _))
 }

@@ -192,6 +192,15 @@ object OracleSql2 {
         |SELECT custkey, cast(max(depth) as bigint) chain_len
         |FROM walk GROUP BY custkey ORDER BY custkey LIMIT 100""".stripMargin,
 
+    "q67_listagg" ->
+      """select r_name, string_agg(n_name, ',' order by n_name) nations
+        |from nation join region on n_regionkey = r_regionkey
+        |group by r_name order by r_name""".stripMargin,
+
+    "q68_approx_topk" ->
+      """select event_type, count(*) cnt from events
+        |group by event_type order by cnt desc, event_type limit 3""".stripMargin,
+
     "q55_dates2" ->
       """select o_orderkey, cast(date_trunc('month', o_orderdate) as timestamp) m,
         | cast(cast(o_orderdate as date) + interval 1 month as date) am,
