@@ -76,6 +76,20 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
+  // ---- ST-9 bounded-state dedup ------------------------------------------
+  /** Dedup by event_id with state BOUNDED by the watermark: a key's
+    * state is evicted once the watermark passes its event time, so
+    * duplicates are only guaranteed collapsed while they arrive within
+    * the delay — the trade every unbounded stream needs at scale
+    * (dropDuplicates state grows forever with key cardinality; this
+    * stays O(keys-per-watermark-window)). Eviction + re-emission
+    * semantics are replay-pinned in StreamingSpec ST-9.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- ST-6 stream-static join -------------------------------------------
   def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(broadcast(customers),

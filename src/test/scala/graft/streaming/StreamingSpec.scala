@@ -131,6 +131,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"on-time window wrong: $byHour")
   }
 
+  test("ST-9 dropDuplicatesWithinWatermark: dedup while state lives, re-emit after eviction") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("events_wmdedup")
+    val base = "2024-06-01 12:00:00"
+    def mk(rows: Seq[(Long, Long, Long)], file: String, mtime: Long): Unit = {
+      val df = rows.toDF("event_id", "mins", "user_id")
+        .select(col("event_id"),
+          (unix_timestamp(lit(base).cast("timestamp")) + col("mins") * 60)
+            .cast("long").*(lit(1000000000L)).as("ts"),
+          col("user_id"), lit("t").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+      val out = tmp.resolve(file + ".tmpdir")
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      val part = Files.list(out).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, tmp.resolve(file), StandardCopyOption.REPLACE_EXISTING)
+      tmp.resolve(file).toFile.setLastModified(mtime)
+    }
+    // f1: events 1 (12:00) and 2 (12:10).
+    // f2: duplicate id=1 at 12:05 — state alive -> DROPPED; id=3 at
+    //     13:30 is the watermark source (wm -> 13:20).
+    // f3: filler id=5 at 13:35 — watermark advancement lags one batch
+    //     (the ST-4 lesson), so id=1's state is evicted here.
+    // f4: id=1 again at 13:40 with state evicted -> RE-EMITTED; id=4.
+    val t0 = System.currentTimeMillis() - 100000
+    mk(Seq((1L, 0L, 1L), (2L, 10L, 1L)), "f1.parquet", t0)
+    mk(Seq((1L, 5L, 1L), (3L, 90L, 1L)), "f2.parquet", t0 + 30000)
+    mk(Seq((5L, 95L, 1L)), "f3.parquet", t0 + 60000)
+    mk(Seq((1L, 100L, 1L), (4L, 110L, 1L)), "f4.parquet", t0 + 90000)
+    val stream = Streams.dedupWithinWatermark(
+      Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1)),
+      watermark = "10 minutes")
+    val got = replay(stream, "append")
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    // id=1 twice (before and after eviction); 2, 3, 4, 5 once each
+    assert(got == Seq(1L, 1L, 2L, 3L, 4L, 5L), s"got $got")
+  }
+
   test("ST-6 stream-static join equals batch join") {
     val customers = Tables.table(spark, sf0001, "customer")
       .select("c_custkey", "c_mktsegment")
