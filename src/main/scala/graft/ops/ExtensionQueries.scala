@@ -258,6 +258,18 @@ object ExtensionQueries {
     Packing.binSummary(Packing.packScalable(toks, capacity = 2048))
   }
 
+  // ---- z-order clustering (E-26) -----------------------------------------
+  // The Morton code both engines compute from the same rendered
+  // arithmetic; the layout win (per-partition bounds tight in BOTH
+  // dimensions) is measured in ZOrderSpec.
+  def extZOrder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("z", "l_orderkey", "l_linenumber")
+      .limit(100)
+
   // ---- deterministic sampling suite (E-20) -------------------------------
   // Exact-k uniform sample: order by sha256(key) — plans as
   // TakeOrderedAndProject, no global sort, reproducible on any engine.
@@ -396,6 +408,7 @@ object ExtensionQueries {
     "ext_components" -> (extComponents _),
     "ext_chunk" -> (extChunk _),
     "ext_pack" -> (extPack _),
+    "ext_zorder" -> (extZOrder _),
     "ext_embed_topk" -> (extEmbedTopK _),
     "ext_sim_pairs" -> (extSimPairs _),
     "ext_sim_pairs_allpairs" -> (extSimPairsAllPairs _),
@@ -531,6 +544,12 @@ object ExtensionQueries {
         |select cb // 2048 bin, count(*) n_docs, sum(n) bin_tokens,
         |  min(doc_id) first_doc, max(doc_id) last_doc
         |from c group by 1 order by 1""".stripMargin,
+
+    "ext_zorder" ->
+      s"""select l_orderkey, cast(l_linenumber as bigint) l_linenumber,
+         |  l_partkey, l_suppkey,
+         |  ${ZOrder.zValueSql("l_partkey", "l_suppkey")} z
+         |from lineitem order by z, l_orderkey, l_linenumber limit 100""".stripMargin,
 
     "ext_embed_topk" -> embedTopKSql,
 

@@ -386,6 +386,19 @@ object ContractQueries2 {
       .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
       .orderBy(desc("cnt"), asc("event_type"))
 
+  // ---- Q69 error-safe scalar functions (P-family) ------------------------
+  // try_divide / try_cast return null instead of failing under ANSI
+  // semantics — the behavior pipelines need on dirty data. DuckDB:
+  // nullif-guarded division and TRY_CAST.
+  def q69Try(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("try_divide(o_totalprice, o_custkey % 3)").as("td"),
+        expr("try_cast(o_orderstatus as int)").as("tc"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) as int)").as("tp"))
+      .orderBy("o_orderkey")
+      .limit(50)
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -405,5 +418,6 @@ object ContractQueries2 {
     "q65_sliding" -> (q65Sliding _),
     "q66_recursive" -> (q66Recursive _),
     "q67_listagg" -> (q67Listagg _),
-    "q68_approx_topk" -> (q68ApproxTopK _))
+    "q68_approx_topk" -> (q68ApproxTopK _),
+    "q69_try" -> (q69Try _))
 }

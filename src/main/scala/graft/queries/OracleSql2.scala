@@ -201,6 +201,13 @@ object OracleSql2 {
       """select event_type, count(*) cnt from events
         |group by event_type order by cnt desc, event_type limit 3""".stripMargin,
 
+    "q69_try" ->
+      """select o_orderkey,
+        |  o_totalprice / nullif(o_custkey % 3, 0) td,
+        |  try_cast(o_orderstatus as int) tc,
+        |  try_cast(substring(o_orderpriority, 1, 1) as int) tp
+        |from orders order by o_orderkey limit 50""".stripMargin,
+
     "q55_dates2" ->
       """select o_orderkey, cast(date_trunc('month', o_orderdate) as timestamp) m,
         | cast(cast(o_orderdate as date) + interval 1 month as date) am,
