@@ -51,4 +51,39 @@ object AsOf {
       carry.map(c => col(s"__match.$c").as(c))
     merged.select(out: _*)
   }
+
+  /** Forward as-of: attach the right row with the SMALLEST (time,
+    * tiebreak) at or after the left row's time. Same merge shape as
+    * [[backward]], traversed in descending time order: right rows still
+    * sort before left rows at equal time (inclusive >=), and among
+    * equal-time right rows the tiebreak DESCENDS so the carried row is
+    * the (time asc, tiebreak asc) winner.
+    */
+  def forward(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      tiebreak: String, carry: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carryStruct = struct((Seq(rightTime, tiebreak) ++ carry).distinct.map(col): _*)
+    val carryType = right.select(carryStruct.as("c")).schema("c").dataType
+    val leftType = left.select(struct(leftCols.map(col): _*).as("l")).schema("l").dataType
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      lit(null).cast("long").as("__tb"),
+      lit(null).cast(carryType).as("__carry"),
+      struct(leftCols.map(col): _*).as("__left"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(tiebreak).cast("long").as("__tb"),
+      carryStruct.as("__carry"),
+      lit(null).cast(leftType).as("__left"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").desc, col("__side"), col("__tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = l.unionByName(r)
+      .withColumn("__match", last("__carry", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__match").isNotNull)
+    val out = leftCols.map(c => col(s"__left.$c").as(c)) ++
+      carry.map(c => col(s"__match.$c").as(c))
+    merged.select(out: _*)
+  }
 }

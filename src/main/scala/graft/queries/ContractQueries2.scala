@@ -399,6 +399,23 @@ object ContractQueries2 {
       .orderBy("o_orderkey")
       .limit(50)
 
+  // ---- Q70 forward as-of join (J-7 completion) ---------------------------
+  // First event AT OR AFTER each order's date for the same customer, via
+  // the linear sort-merge formulation (ops.AsOf.forward); the oracle
+  // runs the quadratic inequality-join + rank spec, mirroring
+  // q20/q20_merge's pairing. (Events postdate orders in the fixture, so
+  // this orientation exercises the carry path with real matches.)
+  def q70AsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.AsOf.forward(o, "o_custkey", "o_orderdate",
+        e, "user_id", "ts", "event_id", Seq("event_id"))
+      .select("o_orderkey", "o_custkey", "event_id")
+      .orderBy("o_orderkey")
+      .limit(50)
+  }
+
   /** Round-2 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pivot" -> (q40Pivot _), "q41_unpivot" -> (q41Unpivot _),
@@ -419,5 +436,6 @@ object ContractQueries2 {
     "q66_recursive" -> (q66Recursive _),
     "q67_listagg" -> (q67Listagg _),
     "q68_approx_topk" -> (q68ApproxTopK _),
-    "q69_try" -> (q69Try _))
+    "q69_try" -> (q69Try _),
+    "q70_asof_fwd" -> (q70AsofFwd _))
 }

@@ -208,6 +208,15 @@ object OracleSql2 {
         |  try_cast(substring(o_orderpriority, 1, 1) as int) tp
         |from orders order by o_orderkey limit 50""".stripMargin,
 
+    "q70_asof_fwd" ->
+      """select o_orderkey, o_custkey, event_id from (
+        |  select o.o_orderkey, o.o_custkey, e.event_id,
+        |    row_number() over (partition by o.o_orderkey
+        |      order by e.ts asc, e.event_id asc) rn
+        |  from orders o join events e
+        |    on e.user_id = o.o_custkey and e.ts >= o.o_orderdate
+        |) where rn=1 order by o_orderkey limit 50""".stripMargin,
+
     "q55_dates2" ->
       """select o_orderkey, cast(date_trunc('month', o_orderdate) as timestamp) m,
         | cast(cast(o_orderdate as date) + interval 1 month as date) am,
