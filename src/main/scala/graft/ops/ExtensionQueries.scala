@@ -400,7 +400,62 @@ object ExtensionQueries {
       .limit(100)
   }
 
+  // ---- E-27 Bloom-filter pre-filtered join -------------------------------
+  // The explicit semi-join reduction (ops.BloomJoin): lineitem is
+  // filtered by a Bloom filter over the 1-URGENT order keys BEFORE its
+  // shuffle, then the exact join removes false positives — result ≡ the
+  // plain join, which is what the oracle pins. At 100 TB this shrinks
+  // the fact shuffle to ~the 20% matching fraction (+ the false-positive
+  // rate) for the cost of broadcasting a few MB of filter bits.
+  def extBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderdate")
+    BloomJoin.join(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey", urgent, "o_orderkey", expectedItems = 1L << 20)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+      .orderBy("yr")
+  }
+
+  // ---- E-28 BM25 relevance scoring ---------------------------------------
+  // Both sides order by the ROUNDED score (then doc_id), so rank is
+  // insensitive to sub-1e-4 float noise.
+  private val bm25Terms = Seq("spark", "table", "hash")
+  def extBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir, "documents"), bm25Terms)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(50)
+
+  // ---- E-29 int8 embedding quantization ----------------------------------
+  def extQuantize(s: SparkSession, dir: String): DataFrame =
+    Quantize.quantize(t(s, dir, "embeddings"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"), col("codes"))
+      .orderBy("vec_id")
+      .limit(50)
+
+  // ---- E-30 bigram LM scoring --------------------------------------------
+  def extLm2Score(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogScore(t(s, dir, "documents"))
+      .select(col("doc_id"), round(col("lm2_score"), 4).as("lm2_score"))
+      .orderBy("doc_id")
+      .limit(100)
+
+  // ---- E-31 corpus n-gram statistics -------------------------------------
+  def extNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCounts(t(s, dir, "documents"))
+      .orderBy(desc("cnt"), asc("bg"))
+      .limit(20)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_bloom_join" -> (extBloomJoin _),
+    "ext_bm25" -> (extBm25 _),
+    "ext_quantize" -> (extQuantize _),
+    "ext_lm2_score" -> (extLm2Score _),
+    "ext_ngrams" -> (extNgrams _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -474,7 +529,61 @@ object ExtensionQueries {
        |from scored order by doc_id limit 100""".stripMargin
   }
 
+  // Shared CTE prefix: clean token list + exploded bigram rows (the
+  // zip-against-own-tail pairing, mirroring TextAnalysis.bigrams).
+  private val bigramCte =
+    """l as (select doc_id, list_filter(string_split(text,' '), w -> w <> '') tl
+      |  from documents),
+      |bg as (select doc_id, unnest(list_filter(list_transform(
+      |    list_zip(tl, tl[2:]),
+      |    p -> case when p[2] is null then null else p[1] || ' ' || p[2] end),
+      |  v -> v is not null)) bg from l)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ext_bloom_join" ->
+      """select cast(year(o_orderdate) as bigint) yr, count(*) n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) rev
+        |from lineitem join orders on l_orderkey = o_orderkey
+        |where o_orderpriority = '1-URGENT'
+        |group by 1 order by 1""".stripMargin,
+
+    "ext_bm25" ->
+      """with toks as (select doc_id,
+        |  unnest(list_filter(string_split(text,' '), w -> w <> '')) w from documents),
+        |dl as (select doc_id, count(*) dl from toks group by doc_id),
+        |corpus as (select count(*) n_docs, avg(dl) avgdl from dl),
+        |tf as (select doc_id, w, count(*) tf from toks
+        |  where w in ('spark','table','hash') group by doc_id, w),
+        |dfreq as (select w, count(*) df from tf group by w)
+        |select doc_id, round(sum(
+        |  ln(1 + (n_docs - df + cast(0.5 as double)) / (df + cast(0.5 as double)))
+        |  * (tf * (cast(1.2 as double) + 1))
+        |  / (tf + cast(1.2 as double)
+        |     * (cast(0.25 as double) + cast(0.75 as double) * dl / avgdl))), 4) bm25
+        |from tf join dfreq using(w) join dl using(doc_id) cross join corpus
+        |group by doc_id order by bm25 desc, doc_id limit 50""".stripMargin,
+
+    "ext_quantize" ->
+      """with e as (select vec_id, cast(embedding as double[]) v from embeddings),
+        |s as (select vec_id, list_max(list_transform(v, x -> abs(x))) sc, v from e)
+        |select vec_id, round(sc, 6) scale_r,
+        |  list_transform(v, x -> case when sc = 0 then 0
+        |    else cast(greatest(-127.0, least(127.0, floor(x * 127 / sc + 0.5))) as int) end) codes
+        |from s order by vec_id limit 50""".stripMargin,
+
+    "ext_lm2_score" ->
+      s"""with $bigramCte,
+        |c2 as (select bg, count(*) c2 from bg group by bg),
+        |c1 as (select string_split(bg,' ')[1] w1, cast(sum(c2) as double) c1 from c2 group by 1)
+        |select doc_id, round(avg(-ln(cast(c2 as double)/c1)), 4) lm2_score
+        |from bg join c2 using(bg) join c1 on string_split(bg,' ')[1] = w1
+        |group by doc_id order by doc_id limit 100""".stripMargin,
+
+    "ext_ngrams" ->
+      s"""with $bigramCte
+        |select bg, count(*) cnt from bg
+        |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
     "ext_dedup_exact" ->
       """with h as (select doc_id, sha256(text) h from documents),
         |k as (select h, min(doc_id) keeper, count(*) group_size from h group by h)

@@ -122,6 +122,86 @@ object TextAnalysis {
       .agg(avg(-log(col("c").cast("double") / col("n"))).as("lm_score"))
   }
 
+  /** Adjacent-token bigram array of a text column, built with zero
+    * shuffles: pair token i with token i+1 by zipping the clean token
+    * list against its own tail (`zip_with` pads the shorter side with
+    * null — those mark the final position and are dropped). This narrow
+    * form replaces the posexplode + per-doc window formulation, which
+    * would shuffle every token by doc_id just to pair neighbors.
+    */
+  def bigrams(text: Column): Column = {
+    val l = filter(split(text, " "), t => t =!= "")
+    filter(
+      zip_with(l, slice(l, lit(2), greatest(lit(0), size(l) - 1)),
+        (a, b) => when(b.isNull, lit(null)).otherwise(concat(a, lit(" "), b))),
+      x => x.isNotNull)
+  }
+
+  /** Corpus bigram counts (for n-gram stats / the bigram LM): one narrow
+    * bigram projection + one count shuffle.
+    */
+  def bigramCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+
+  /** Bigram language-model scoring — the order-2 upgrade of
+    * [[unigramLogScore]]: per document, the mean negative conditional
+    * log-likelihood −ln c(w1,w2)/c(w1·) of its adjacent token pairs
+    * under the corpus' own bigram counts (c(w1·) = occurrences of w1 as
+    * a bigram head, so probabilities per head sum to 1 exactly and the
+    * math is SQL-reproducible with no smoothing constant). Documents
+    * with < 2 tokens drop out (no bigrams). Shuffles: one bigram count,
+    * a head count derived from it by re-aggregation (not a rescan), and
+    * the per-doc mean — pairing itself is the zero-shuffle [[bigrams]]
+    * projection. The count tables are vocabulary-sized — tiny next to
+    * the corpus — so their joins broadcast at any realistic scale.
+    */
+  def bigramLogScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val docBigrams = df
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+    val c2 = docBigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum("c2").as("c1"))
+    docBigrams.join(c2, "bg")
+      .join(c1, split(col("bg"), " ").getItem(0) === col("w1"))
+      .groupBy(idCol)
+      .agg(avg(-log(col("c2").cast("double") / col("c1"))).as("lm2_score"))
+  }
+
+  // --------------------------------------------------------------- BM25
+
+  /** BM25 relevance of each document for a fixed bag of query terms
+    * (k1 = 1.2, b = 0.75, the standard Robertson parameters; idf is the
+    * non-negative BM25+ form ln(1 + (N − df + ½)/(df + ½))). Everything
+    * derives from one token explode: per-doc term frequencies, document
+    * lengths, corpus size and document frequencies — then
+    * score(d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    * The per-term stats table has |query| rows, so its join broadcasts;
+    * corpus-level scalars (N, avgdl) ride in on a one-row broadcast.
+    * Only docs containing ≥1 query term surface (BM25 of the rest is 0).
+    */
+  def bm25(df: DataFrame, queryTerms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks.filter(col("w").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(broadcast(dfreq), "w")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("term_score", idf * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(idCol)
+      .agg(sum("term_score").as("bm25"))
+  }
+
   /** PII / boilerplate scrubbing for training corpora: URLs, e-mail
     * addresses and digit runs are replaced with typed placeholder tokens.
     * Order matters — URLs first (they may contain digits and @), then

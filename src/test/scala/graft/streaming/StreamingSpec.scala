@@ -73,6 +73,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(got) == canon(expected))
   }
 
+  test("ST-3b session replay equals the oracle-anchored islands form (q73)") {
+    // q73_sessionwin is the batch session_window query the driver
+    // hash-checks against DuckDB's gaps-and-islands rewrite — comparing
+    // the replay to it at SESSION granularity (start/end/count) anchors
+    // the streaming path to the cross-engine oracle, like q65 does for
+    // ST-2.
+    val stream = Streams.sessionCounts(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream, "complete")
+      .select(col("user_id"), col("s").as("ss"), col("e").as("se"), col("n_events"))
+      .orderBy("user_id", "ss").limit(200)
+    val expected = graft.queries.ContractQueries3.q73SessionWin(spark, sf0001)
+    assert(canon(got) == canon(expected))
+  }
+
   test("ST-5 streaming dedup: duplicate event_ids collapse on replay") {
     // craft a replay dir with the fixture file twice -> every event is
     // duplicated across micro-batches

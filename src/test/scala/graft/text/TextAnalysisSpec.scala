@@ -66,4 +66,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rh(1L) != rh(2L))
   }
+
+  test("bigrams pairs adjacent kept tokens, skipping empty splits") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b  c"), (2L, "solo"), (3L, ""), (4L, "x y")))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.bigrams(col("text")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b", "b c"), s"double space must not break pairing: ${got(1L)}")
+    assert(got(2L) == Seq())
+    assert(got(3L) == Seq())
+    assert(got(4L) == Seq("x y"))
+  }
+
+  test("bigramLogScore: per-head conditional, common bigram scores low") {
+    // 'a b' occurs 3 times with head 'a' (total head count 4) -> doc 0's
+    // only bigram scores -ln(3/4); 'a c' once -> -ln(1/4)
+    val df = spark.createDataFrame(Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c")))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLogScore(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(s(0L) - -math.log(3.0 / 4.0)) < 1e-9)
+    assert(math.abs(s(3L) - -math.log(1.0 / 4.0)) < 1e-9)
+  }
+
+  test("bm25: more query-term hits score higher; termless docs absent") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "spark spark table pad pad"),
+      (1L, "spark pad pad pad pad"),
+      (2L, "pad pad pad pad pad")))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.bm25(df, Seq("spark", "table")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!s.contains(2L), "doc without query terms must not surface")
+    assert(s(0L) > s(1L), s"two terms + higher tf must outscore: $s")
+  }
 }
