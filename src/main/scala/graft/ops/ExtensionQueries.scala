@@ -450,12 +450,31 @@ object ExtensionQueries {
       .orderBy(desc("cnt"), asc("bg"))
       .limit(20)
 
+  // ---- E-32 PageRank (fixed 3 iterations) --------------------------------
+  // Authority scoring over the bidirected supplier–part shipment graph
+  // (node ids prefixed — the S/P key ranges overlap). The oracle unrolls
+  // the same 3 power iterations as chained CTEs; both sides order by the
+  // ROUNDED score so rank ignores sub-1e-4 summation noise.
+  def extPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
+        concat(lit("P"), col("l_partkey")).as("pn"))
+      .distinct()
+    val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
+      .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
+    PageRank.run(edges, iterations = 3)
+      .select(col("id"), round(col("pr"), 4).as("pr"))
+      .orderBy(desc("pr"), asc("id"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ext_bloom_join" -> (extBloomJoin _),
     "ext_bm25" -> (extBm25 _),
     "ext_quantize" -> (extQuantize _),
     "ext_lm2_score" -> (extLm2Score _),
     "ext_ngrams" -> (extNgrams _),
+    "ext_pagerank" -> (extPagerank _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -583,6 +602,32 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_pagerank" ->
+      """with pairs as (select distinct 'S' || l_suppkey sn, 'P' || l_partkey pn
+        |  from lineitem),
+        |edges as (select sn src, pn dst from pairs
+        |          union all select pn, sn from pairs),
+        |nodes as (select distinct src id from edges),
+        |outdeg as (select src, count(*) d from edges group by src),
+        |p0 as (select id, cast(1.0 as double) pr from nodes),
+        |p1 as (select n.id, cast(0.15 as double) + cast(0.85 as double)
+        |         * coalesce(sum(p.pr / o.d), 0) pr
+        |       from nodes n left join edges e on e.dst = n.id
+        |       left join p0 p on p.id = e.src left join outdeg o on o.src = e.src
+        |       group by n.id),
+        |p2 as (select n.id, cast(0.15 as double) + cast(0.85 as double)
+        |         * coalesce(sum(p.pr / o.d), 0) pr
+        |       from nodes n left join edges e on e.dst = n.id
+        |       left join p1 p on p.id = e.src left join outdeg o on o.src = e.src
+        |       group by n.id),
+        |p3 as (select n.id, cast(0.15 as double) + cast(0.85 as double)
+        |         * coalesce(sum(p.pr / o.d), 0) pr
+        |       from nodes n left join edges e on e.dst = n.id
+        |       left join p2 p on p.id = e.src left join outdeg o on o.src = e.src
+        |       group by n.id)
+        |select id, round(pr, 4) pr from p3
+        |order by pr desc, id limit 20""".stripMargin,
 
     "ext_dedup_exact" ->
       """with h as (select doc_id, sha256(text) h from documents),
