@@ -182,6 +182,70 @@ object Dedup {
     cross.unionAll(intra)
   }
 
+  /** Containment near-dup pairs (E-33): ordered pairs (contained,
+    * container) where |A∩B|/|A| ≥ `tau` for the smaller set A, within a
+    * size band max(|A|,|B|) ≤ sizeRatio·min(|A|,|B|) — the asymmetric
+    * metric that catches quote/subset duplication the symmetric Jaccard
+    * paths miss (a short doc fully contained in a long one has LOW
+    * Jaccard but containment 1.0).
+    *
+    * Rides the same canonical-set MinHash-LSH pipeline as
+    * [[minhashNearDupPairsFromSets]]: within the size band, containment
+    * ≥ τ implies jac ≥ τ/(1+r−τ) (worst case |B| = r·|A|, A∩B = τ|A|),
+    * so banding at that lower Jaccard finds every qualifying pair; a
+    * 0.999 margin on the prefilter keeps float noise at the exact
+    * boundary from dropping a pair the exact recheck would keep. The
+    * intersection SIZE is recovered exactly from the rechecked Jaccard
+    * (|A∩B| = jac·(|A|+|B|)/(1+jac) is an integer; rounding removes the
+    * float error), so the final containment is the same two-integer
+    * division the oracle computes — no boundary disagreement.
+    */
+  def containmentNearDups(docs: DataFrame, idCol: String, setCol: Column,
+      tau: Double, sizeRatio: Double = 1.5,
+      bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val jacLower = tau / (1 + sizeRatio - tau) * 0.999
+    val (groups, setPairs) =
+      setGroupsAndPairs(docs, idCol, setCol, jacLower, bands, rowsPerBand)
+    val sizes = groups.select(col("gid"), size(col("set_")).as("sz"), col("ids"))
+    val cross = setPairs
+      .join(sizes.select(col("gid").as("ga"), col("sz").as("na"),
+        col("ids").as("ids_a")), "ga")
+      .join(sizes.select(col("gid").as("gb"), col("sz").as("nb"),
+        col("ids").as("ids_b")), "gb")
+      .withColumn("inter", round(col("jac") * (col("na") + col("nb"))
+        / (col("jac") + lit(1.0))).cast("long"))
+      .withColumn("cont",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("cont") >= tau &&
+        greatest(col("na"), col("nb")) <=
+          lit(sizeRatio) * least(col("na"), col("nb")))
+      // orient: ids of the SMALLER set are the contained side; equal
+      // sizes orient per id pair (lower id = contained, matching the
+      // all-pairs spec's tie rule)
+      .select(
+        explode(when(col("na") <= col("nb"), col("ids_a"))
+          .otherwise(col("ids_b"))).as("ismall"),
+        when(col("na") <= col("nb"), col("ids_b"))
+          .otherwise(col("ids_a")).as("big_ids"),
+        col("cont"), (col("na") === col("nb")).as("eq"))
+      .select(col("ismall"), explode(col("big_ids")).as("ibig"),
+        col("cont"), col("eq"))
+      .select(
+        when(col("eq"), least(col("ismall"), col("ibig")))
+          .otherwise(col("ismall")).as("contained"),
+        when(col("eq"), greatest(col("ismall"), col("ibig")))
+          .otherwise(col("ibig")).as("container"),
+        col("cont"))
+    // identical sets: containment 1.0 both ways → one row, lower id first
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("contained"), col("ib").as("container"),
+        lit(1.0).as("cont"))
+    cross.unionAll(intra)
+  }
+
   /** Shared stages 1-3 of the set-canonical near-dup pipeline: the
     * persisted (set_, ids, gid, hset) group table and the qualifying
     * SET-level pairs (ga, gb, jac).

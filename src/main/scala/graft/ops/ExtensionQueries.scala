@@ -450,6 +450,19 @@ object ExtensionQueries {
       .orderBy(desc("cnt"), asc("bg"))
       .limit(20)
 
+  // ---- E-33 containment near-dup (asymmetric) ----------------------------
+  // Subset/quote duplication: pairs where ≥90% of the smaller doc's
+  // token set appears in the larger one, within a 1.5× set-size band.
+  // Production path = the canonical-set LSH pipeline at the implied
+  // Jaccard lower bound; the oracle is the all-pairs formulation of the
+  // same predicate.
+  def extContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentNearDups(t(s, dir, "documents"), "doc_id",
+        Dedup.tokenSet(col("text")), tau = 0.9, sizeRatio = 1.5)
+      .select(col("contained"), col("container"), round(col("cont"), 4).as("cont"))
+      .orderBy(desc("cont"), asc("contained"), asc("container"))
+      .limit(50)
+
   // ---- E-32 PageRank (fixed 3 iterations) --------------------------------
   // Authority scoring over the bidirected supplier–part shipment graph
   // (node ids prefixed — the S/P key ranges overlap). The oracle unrolls
@@ -475,6 +488,7 @@ object ExtensionQueries {
     "ext_lm2_score" -> (extLm2Score _),
     "ext_ngrams" -> (extNgrams _),
     "ext_pagerank" -> (extPagerank _),
+    "ext_containment" -> (extContainment _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -602,6 +616,21 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_containment" ->
+      """with t as (select doc_id,
+        |    list_distinct(list_filter(string_split(text,' '), w -> w <> '')) s
+        |  from documents),
+        |p as (select a.doc_id ia, b.doc_id ib, a.s sa, b.s sb, len(a.s) na, len(b.s) nb
+        |      from t a join t b on a.doc_id <> b.doc_id
+        |      where len(a.s) <= len(b.s)
+        |        and (len(a.s) < len(b.s) or a.doc_id < b.doc_id)
+        |        and len(b.s) <= 1.5 * len(a.s))
+        |select ia contained, ib container,
+        |  round(cast(len(list_intersect(sa,sb)) as double)/na, 4) cont
+        |from p
+        |where cast(len(list_intersect(sa,sb)) as double)/na >= cast(0.9 as double)
+        |order by cont desc, contained, container limit 50""".stripMargin,
 
     "ext_pagerank" ->
       """with pairs as (select distinct 'S' || l_suppkey sn, 'P' || l_partkey pn

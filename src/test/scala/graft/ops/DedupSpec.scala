@@ -185,4 +185,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val planted = originals.map { case (id, _) => (id, id + 1000L) }.toSet
     assert(planted.subsetOf(found), s"missed: ${planted -- found}")
   }
+
+  test("containment finds planted subset pairs the symmetric metric misses") {
+    // doc 100 is a strict subset of doc 1 (half its distinct tokens):
+    // containment(100→1) = 1.0 while jaccard = 0.5 — below a 0.9
+    // near-dup bar. Distinct filler tokens per doc keep other pairs out.
+    val base = (0 until 40).map(i => s"w$i")
+    val docs = spark.createDataFrame(Seq(
+      (1L, base.mkString(" ")),                       // full set, 40 tokens
+      (100L, base.take(28).mkString(" ")),            // subset, 28 tokens
+      (2L, (0 until 40).map(i => s"x$i").mkString(" ")),
+      (3L, (0 until 40).map(i => s"y$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentNearDups(docs, "doc_id",
+        Dedup.tokenSet(col("text")), tau = 0.9, sizeRatio = 1.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((100L, 1L, 1.0)), s"got $got")
+    // sanity: the pair's Jaccard is 28/40 = 0.7 — a 0.9 Jaccard pass
+    // would indeed have missed it
+    assert(28.0 / 40.0 < 0.9)
+  }
 }
