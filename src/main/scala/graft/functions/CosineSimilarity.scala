@@ -189,5 +189,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.sortedLongJaccardInfo, GraftFunctions.sortedLongJaccardBuilder))
     ext.injectFunction((new FunctionIdentifier("simhash64"),
       GraftFunctions.simhash64Info, GraftFunctions.simhash64Builder))
+    // Bloom semi-join reduction pair (ops.BloomJoin) — injected here too
+    // so SQL-text sessions get the same surface as the imperative path.
+    ext.injectFunction((new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "graft_bloom_agg"),
+      graft.ops.BloomJoin.bloomAggBuilder))
+    ext.injectFunction((new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "graft_might_contain"),
+      graft.ops.BloomJoin.mightContainBuilder))
   }
 }

@@ -90,6 +90,18 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ---- ST-10 streaming sketch aggregation ----------------------------------
+  /** Heavy hitters over the stream via the approx_top_k sketch (global
+    * aggregate, complete mode): the sketch state is O(maxItemsTracked)
+    * regardless of stream length — the streaming face of q68's batch
+    * contract. With maxItemsTracked ≥ the true distinct count the sketch
+    * is exact, so the replay must equal q68's oracle-anchored result.
+    */
+  def topEventTypes(events: DataFrame, k: Int = 3,
+      maxTracked: Int = 100): DataFrame =
+    events.groupBy()
+      .agg(expr(s"approx_top_k(event_type, $k, $maxTracked)").as("t"))
+
   // ---- ST-6 stream-static join -------------------------------------------
   def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(broadcast(customers),

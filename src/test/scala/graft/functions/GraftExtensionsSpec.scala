@@ -42,6 +42,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r2.getSeq[Long](1).length == 4)
       assert(math.abs(r2.getDouble(2) - 0.5) < 1e-12)
       assert(!r2.isNullAt(3))
+      // the Bloom pair round-trips end-to-end in pure SQL: build bits
+      // over 1..3, probe members and a non-member
+      // the filter side must be a constant or scalar subquery —
+      // BloomFilterMightContain rejects a plain column reference
+      val r3 = spark.sql(
+        """select graft_might_contain(
+          |    (select graft_bloom_agg(x, 100)
+          |     from (select explode(array(1L, 2L, 3L)) x)), 2L) hit,
+          |  graft_might_contain(
+          |    (select graft_bloom_agg(x, 100)
+          |     from (select explode(array(1L, 2L, 3L)) x)), 999999L) miss""".stripMargin)
+        .collect()(0)
+      assert(r3.getBoolean(0), "bloom must contain an inserted key")
+      assert(!r3.getBoolean(1), "bloom fp on the probe key")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

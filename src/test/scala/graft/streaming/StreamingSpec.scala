@@ -87,6 +87,16 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(got) == canon(expected))
   }
 
+  test("ST-10 streaming approx_top_k replay equals the oracle-anchored q68") {
+    val stream = Streams.topEventTypes(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream, "complete")
+      .select(explode(col("t")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+      .orderBy(desc("cnt"), col("event_type"))
+    val expected = graft.queries.ContractQueries2.q68ApproxTopK(spark, sf0001)
+    assert(canon(got) == canon(expected))
+  }
+
   test("ST-5 streaming dedup: duplicate event_ids collapse on replay") {
     // craft a replay dir with the fixture file twice -> every event is
     // duplicated across micro-batches
