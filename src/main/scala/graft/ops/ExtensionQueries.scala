@@ -450,6 +450,35 @@ object ExtensionQueries {
       .orderBy(desc("cnt"), asc("bg"))
       .limit(20)
 
+  // ---- E-35 weighted sampling (A-Res, RNG-free) --------------------------
+  // Price-weighted order sample: inclusion probability ∝ o_totalprice,
+  // deterministic across engines because the uniform comes from
+  // sha256(key) rather than an RNG. Output re-sorted by key so the hash
+  // compare pins membership, not float rank order.
+  def extWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedK(t(s, dir, "orders"),
+        col("o_orderkey"), col("o_totalprice"), k = 20)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("w"))
+      .orderBy("o_orderkey")
+
+  // ---- E-34 chunk-level (sub-document) dedup -----------------------------
+  // Boilerplate detection: chunk every doc into non-overlapping 32-token
+  // windows (text.Chunking, zero-shuffle projection), count how many of
+  // each doc's chunks also appear elsewhere in the corpus. One chunk-hash
+  // count shuffle + a broadcast-able join back — the same shape exact
+  // dedup uses, one level below the document.
+  def extChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.text.Chunking.chunkDocs(t(s, dir, "documents"), 32, 0)
+      .select(col("doc_id"), col("chunk"))
+    val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("m"))
+    chunks.join(counts, "chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("m") > 1, 1).otherwise(0)).cast("long").as("n_dup_chunks"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
   // ---- E-33 containment near-dup (asymmetric) ----------------------------
   // Subset/quote duplication: pairs where ≥90% of the smaller doc's
   // token set appears in the larger one, within a 1.5× set-size band.
@@ -489,6 +518,8 @@ object ExtensionQueries {
     "ext_ngrams" -> (extNgrams _),
     "ext_pagerank" -> (extPagerank _),
     "ext_containment" -> (extContainment _),
+    "ext_chunk_dedup" -> (extChunkDedup _),
+    "ext_weighted_sample" -> (extWeightedSample _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -616,6 +647,29 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_weighted_sample" ->
+      """select o_orderkey, round(o_totalprice, 2) w from (
+        |  select o_orderkey, o_totalprice,
+        |    ln(((('0x' || substr(sha256(cast(o_orderkey as varchar)), 1, 15))::bigint)
+        |        + cast(0.5 as double)) / 1152921504606846976.0) / o_totalprice wk
+        |  from orders order by wk desc limit 20)
+        |order by o_orderkey""".stripMargin,
+
+    "ext_chunk_dedup" ->
+      """with d as (select doc_id, string_split(text,' ') toks from documents),
+        |c as (select doc_id, len(toks) n,
+        |  case when len(toks) <= 32 then 1
+        |       else cast(floor((len(toks) - 32 + 31)::double / 32) as int) + 1 end nc,
+        |  toks from d),
+        |x as (select doc_id, unnest(generate_series(0, nc-1)) cid, toks from c),
+        |ch as (select doc_id,
+        |  array_to_string(list_slice(toks, cid*32+1, cid*32+32), ' ') chunk from x),
+        |cnt as (select chunk, count(*) m from ch group by chunk)
+        |select doc_id, count(*) n_chunks,
+        |  cast(sum(case when m > 1 then 1 else 0 end) as bigint) n_dup_chunks
+        |from ch join cnt using(chunk)
+        |group by doc_id order by doc_id limit 100""".stripMargin,
 
     "ext_containment" ->
       """with t as (select doc_id,

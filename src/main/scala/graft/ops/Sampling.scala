@@ -42,4 +42,26 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Hash-derived uniform in (0,1): the first 60 bits of sha256(key),
+    * centered (+0.5) so it can never hit 0 or 1 exactly. Same doubles on
+    * any engine that can parse hex — the RNG-free uniform the weighted
+    * sampler needs.
+    */
+  def hashUniform(key: Column): Column =
+    (conv(substring(hashOf(key), 1, 15), 16, 10).cast("long").cast("double")
+      + 0.5) / 1152921504606846976.0d // 2^60
+
+  /** Weighted sample without replacement, k rows, inclusion probability
+    * ∝ weight — Efraimidis–Spirakis A-Res with the deterministic
+    * [[hashUniform]] in place of an RNG: rank key = ln(u)/w (the log form
+    * of u^(1/w)), keep the k largest. Plans as TakeOrderedAndProject
+    * like exactK — per-partition top-k, no global sort, no shuffle of
+    * the losers.
+    */
+  def weightedK(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
+    df.withColumn("__wk", log(hashUniform(key)) / weight)
+      .orderBy(desc("__wk"))
+      .limit(k)
+      .drop("__wk")
 }

@@ -30,6 +30,22 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(k10.subsetOf(k30), "smaller sample must be a prefix of the larger")
   }
 
+  test("weightedK: heavy weights overrepresented; plan is top-k, not global sort") {
+    import spark.implicits._
+    // 500 keys at weight 1, 500 at weight 10 -> a 100-row sample should
+    // be dominated by the heavy class (E[heavy] ~ 90+); uniform would
+    // give ~50
+    val df = (0 until 1000)
+      .map(i => (i.toLong, if (i < 500) 1.0 else 10.0)).toDF("k", "w")
+    val got = Sampling.weightedK(df, col("k"), col("w"), 100)
+    val heavy = got.filter(col("w") === 10.0).count()
+    assert(heavy > 70, s"heavy class underrepresented: $heavy of 100")
+    assert(got.count() == 100)
+    val plan = got.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan as top-k:\n${plan.take(800)}")
+  }
+
   test("exactK plans as TakeOrderedAndProject (no global sort)") {
     val s = Sampling.exactK(customer, col("c_custkey"), 10)
       .queryExecution.executedPlan.toString
