@@ -319,6 +319,26 @@ object ExtensionQueries {
       .limit(200)
   }
 
+  // ---- E-36 resample with linear interpolation ---------------------------
+  // Same per-user hourly grid as ext_resample, but gap slots take the
+  // time-weighted blend of the bracketing observations instead of the
+  // carried-forward value; one-sided edges clamp to the neighbor.
+  def extInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("value"), col("ts"), col("event_id"))
+    val picked = Upsert.latestPerKey(
+        ev.withColumn("__k", concat_ws("|", col("user_id"), col("h"))),
+        "__k", Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("h"), col("value"))
+    Resample.gridInterpolate(picked, "user_id", "h", "value",
+        expr("interval 1 hour"))
+      .select(col("user_id"), col("h"), round(col("value"), 4).as("v"))
+      .orderBy("user_id", "h")
+      .limit(200)
+  }
+
   // ---- unigram LM quality scoring (E-18) ---------------------------------
   def extLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogScore(t(s, dir, "documents"))
@@ -520,6 +540,7 @@ object ExtensionQueries {
     "ext_containment" -> (extContainment _),
     "ext_chunk_dedup" -> (extChunkDedup _),
     "ext_weighted_sample" -> (extWeightedSample _),
+    "ext_interpolate" -> (extInterpolate _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -647,6 +668,35 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_interpolate" ->
+      """with ev as (select user_id, date_trunc('hour', ts) h, value, ts, event_id
+        |  from events where user_id < 5),
+        |obs as (select user_id, h, value from (
+        |  select user_id, h, value,
+        |    row_number() over (partition by user_id, h order by ts desc, event_id desc) rn
+        |  from ev) where rn = 1),
+        |bounds as (select user_id, min(h) lo, max(h) hi from ev group by user_id),
+        |grid as (select user_id, unnest(generate_series(lo, hi, interval 1 hour)) h from bounds),
+        |j as (select g.user_id, g.h, o.value v, epoch(g.h) t from grid g
+        |      left join obs o on o.user_id = g.user_id and o.h = g.h),
+        |w as (select user_id, h, t, v,
+        |  last_value(v ignore nulls) over (partition by user_id order by h
+        |    rows between unbounded preceding and current row) pv,
+        |  last_value(case when v is not null then t end ignore nulls)
+        |    over (partition by user_id order by h
+        |    rows between unbounded preceding and current row) pt,
+        |  first_value(v ignore nulls) over (partition by user_id order by h
+        |    rows between current row and unbounded following) nv,
+        |  first_value(case when v is not null then t end ignore nulls)
+        |    over (partition by user_id order by h
+        |    rows between current row and unbounded following) nt
+        |  from j)
+        |select user_id, h, round(case when pv is null then nv
+        |  when nv is null then pv
+        |  when nt = pt then pv
+        |  else pv + (nv - pv) * (t - pt) / (nt - pt) end, 4) v
+        |from w order by user_id, h limit 200""".stripMargin,
 
     "ext_weighted_sample" ->
       """select o_orderkey, round(o_totalprice, 2) w from (

@@ -122,6 +122,25 @@ object ContractQueries3 {
       .orderBy("doc_id")
       .limit(100)
 
+  // ---- Q78 binary-file ingestion (S-11, the multimodal ingest path) ------
+  // Sorted customer keys are written as a single text file, re-ingested
+  // through the binaryFile source (path/length/content), and the raw
+  // BYTES are hashed. The oracle reconstructs the identical byte stream
+  // in SQL (ordered string_agg of "key\n"), so content fidelity of the
+  // binary ingest path is pinned end-to-end — the same path opaque
+  // image/audio payloads take into the multimodal pipeline.
+  def q78Binaryfile(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_bin_${math.abs(dir.hashCode)}/keys"
+    t(s, dir, "customer")
+      .select(col("c_custkey").cast("string"))
+      .repartition(1)
+      .sortWithinPartitions(col("c_custkey").cast("long"))
+      .write.mode("overwrite").text(tmp)
+    s.read.format("binaryFile").option("pathGlobFilter", "part-*").load(tmp)
+      .select(lit("keys").as("src"), col("length"),
+        sha2(col("content"), 256).as("sha"))
+  }
+
   /** Round-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_avro_roundtrip" -> (q71AvroRoundtrip _),
@@ -130,5 +149,6 @@ object ContractQueries3 {
     "q74_mode" -> (q74Mode _),
     "q75_variant" -> (q75Variant _),
     "q76_map" -> (q76Map _),
-    "q77_regexp2" -> (q77Regexp2 _))
+    "q77_regexp2" -> (q77Regexp2 _),
+    "q78_binaryfile" -> (q78Binaryfile _))
 }

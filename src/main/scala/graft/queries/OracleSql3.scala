@@ -65,5 +65,12 @@ object OracleSql3 {
         |  len(regexp_extract_all(text, 'ta[a-z]+')) n_ta,
         |  strpos(text, 'spark') pos_spark,
         |  nullif(regexp_extract(text, '[a-z]{5,}'), '') long_tok
-        |from documents order by doc_id limit 100""".stripMargin)
+        |from documents order by doc_id limit 100""".stripMargin,
+
+    "q78_binaryfile" ->
+      """select 'keys' src,
+        |  cast(sum(length(cast(c_custkey as varchar)) + 1) as bigint) length,
+        |  sha256(string_agg(cast(c_custkey as varchar) || chr(10), ''
+        |    order by c_custkey)) sha
+        |from customer""".stripMargin)
 }
