@@ -134,7 +134,7 @@ object PerfLab {
         val afterNear = nearKept.count()
         val outCount = nearKept.count()
         pipeline.PipelineReport(input, input, afterLang, afterQuality,
-          afterExact, afterNear, outCount)
+          afterQuality, afterExact, afterNear, outCount)
       }
       def shippedRun(): pipeline.PipelineReport = {
         val (out, r) = new pipeline.CorpusPipeline(nearDupThreshold = 0.5).run(docs)

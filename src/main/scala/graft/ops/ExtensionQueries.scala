@@ -319,6 +319,26 @@ object ExtensionQueries {
       .limit(200)
   }
 
+  // ---- E-37 fuzzy string join (entity resolution) ------------------------
+  // Distinct part names within edit distance 2 of each other (typo/
+  // variant detection: 'cold anvil' ~ 'old anvil'). lev ≤ 2 implies
+  // |len Δ| ≤ 2, so BandJoin's length blocking has exact recall and the
+  // Levenshtein recheck runs only inside length bands — never the
+  // quadratic all-pairs loop (the umbrella plan gate enforces it).
+  def extFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select("p_name").distinct()
+    BandJoin.joinWithin(
+        names.select(col("p_name").as("na")), length(col("na")),
+        names.select(col("p_name").as("nb")), length(col("nb")),
+        width = 2,
+        extra = col("na") < col("nb") &&
+          levenshtein(col("na"), col("nb")).between(1, 2))
+      .select(col("na"), col("nb"),
+        levenshtein(col("na"), col("nb")).cast("long").as("d"))
+      .orderBy("d", "na", "nb")
+      .limit(50)
+  }
+
   // ---- E-36 resample with linear interpolation ---------------------------
   // Same per-user hourly grid as ext_resample, but gap slots take the
   // time-weighted blend of the bracketing observations instead of the
@@ -541,6 +561,7 @@ object ExtensionQueries {
     "ext_chunk_dedup" -> (extChunkDedup _),
     "ext_weighted_sample" -> (extWeightedSample _),
     "ext_interpolate" -> (extInterpolate _),
+    "ext_fuzzy_join" -> (extFuzzyJoin _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -668,6 +689,15 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_fuzzy_join" ->
+      """with p as (select distinct p_name from part)
+        |select a.p_name na, b.p_name nb,
+        |  cast(levenshtein(a.p_name, b.p_name) as bigint) d
+        |from p a join p b on a.p_name < b.p_name
+        |  and abs(length(a.p_name) - length(b.p_name)) <= 2
+        |where levenshtein(a.p_name, b.p_name) between 1 and 2
+        |order by d, na, nb limit 50""".stripMargin,
 
     "ext_interpolate" ->
       """with ev as (select user_id, date_trunc('hour', ts) h, value, ts, event_id

@@ -6,17 +6,25 @@ import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Per-stage surviving-document counts from a pipeline run. */
+/** Per-stage surviving-document counts from a pipeline run.
+  * afterLm == afterQuality when the LM filter is disabled.
+  */
 case class PipelineReport(
     input: Long, afterScrub: Long, afterLang: Long, afterQuality: Long,
-    afterExactDedup: Long, afterNearDedup: Long, output: Long)
+    afterLm: Long, afterExactDedup: Long, afterNearDedup: Long, output: Long)
 
 /** End-to-end training-corpus preparation: the individual operators
   * (each independently DuckDB-oracled — see ExtensionQueries) composed
   * into the standard cleaning funnel:
   *
-  *   scrub → language filter → quality filter → exact dedup →
-  *   MinHash near-dedup → optional per-language cap
+  *   scrub → language filter → quality filter → optional LM filter →
+  *   exact dedup → MinHash near-dedup → optional per-language cap
+  *
+  * The LM stage is the CCNet-style perplexity cut at order 1: docs whose
+  * mean −ln p(token) under the corpus' own unigram distribution exceeds
+  * `maxLmScore` (rare-token soup, boilerplate noise) are dropped. It
+  * reads the already-persisted `scored` cache twice (once for the count
+  * table, once for the join) — no funnel recompute.
   *
   * Every stage is a narrow projection or an already-scale-proven op.
   * Near-dup removal is cluster-based: qualifying pairs become edges,
@@ -56,6 +64,7 @@ case class PipelineReport(
 class CorpusPipeline(
     val languages: Set[String] = Set.empty, // empty = keep all
     val minQuality: Double = 0.0,
+    val maxLmScore: Option[Double] = None, // None = LM filter off
     val nearDupThreshold: Double = 0.5,
     val capPerLanguage: Option[Int] = None) extends Serializable {
 
@@ -84,13 +93,31 @@ class CorpusPipeline(
     val afterScrub = input // scrub is 1:1, no rows dropped
     val afterLang = obsLang.get("n").asInstanceOf[Long]
 
-    val keeperIds = Dedup.exactAssignKeepers(scored, idCol, textCol)
+    // LM stage joins the funnel's hand-over-hand persist chain: the
+    // dedup stages below reference lmKept TWICE (keeper derivation +
+    // semi-join), so when the filter is on, lmKept gets its own cache +
+    // count action — otherwise the LM aggregate and join would run
+    // twice, the recompute amplification this pipeline exists to avoid.
+    val (lmKept, afterLm) = maxLmScore match {
+      case Some(maxS) =>
+        val keep = TextAnalysis.unigramLogScore(scored, idCol, textCol)
+          .filter(col("lm_score") <= maxS)
+          .select(idCol)
+        val k = scored.join(keep, Seq(idCol), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = k.count() // action 1b: LM agg + join once, off the scored cache
+        (k, n)
+      case None => (scored, afterQuality)
+    }
+
+    val keeperIds = Dedup.exactAssignKeepers(lmKept, idCol, textCol)
       .filter(!col("is_dup"))
       .select(idCol)
-    val exactKept = scored.join(keeperIds, Seq(idCol), "left_semi")
+    val exactKept = lmKept.join(keeperIds, Seq(idCol), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exactKept.count() // action 2
     scored.unpersist()
+    if (!(lmKept eq scored)) lmKept.unpersist()
 
     // cluster the near-dup graph at SET level (never expanded member
     // pairs — measured 7x funnel wall-time at sf0.1 otherwise); drop
@@ -113,6 +140,6 @@ class CorpusPipeline(
     exactKept.unpersist()
 
     (out, PipelineReport(input, afterScrub, afterLang, afterQuality,
-      afterExact, afterNear, outCount))
+      afterLm, afterExact, afterNear, outCount))
   }
 }

@@ -17,7 +17,8 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(r.input == docs.count())
     assert(r.afterScrub == r.input)
     assert(r.afterLang <= r.afterScrub && r.afterQuality <= r.afterLang)
-    assert(r.afterExactDedup <= r.afterQuality && r.afterNearDedup <= r.afterExactDedup)
+    assert(r.afterLm == r.afterQuality, "LM stage off => counts equal")
+    assert(r.afterExactDedup <= r.afterLm && r.afterNearDedup <= r.afterExactDedup)
     assert(r.output == r.afterNearDedup)
     // the sf0.01 fixture plants 25 near-dup pairs (FIXTURES.md quirk 3);
     // at τ=0.5 with no other filters, at least the paired larger ids die
@@ -63,6 +64,29 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 50L), s"expected cluster {1,2,3} -> keep 1, got $kept")
     assert(r.afterExactDedup - r.afterNearDedup == 2)
+  }
+
+  test("LM filter drops rare-token noise docs and only them") {
+    import spark.implicits._
+    // 10 docs share a vocabulary; one is random-token soup. Its mean
+    // -ln p(token) under the corpus unigram distribution is far above
+    // the normal docs' — a threshold between the two bands keeps
+    // exactly the clean docs.
+    val common = (0 until 10).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+    val noise = Seq((99L, "zqx wvu tsr qpo nml kji hgf edc ba9 876"))
+    val crafted = spark.createDataFrame(common ++ noise).toDF("doc_id", "text")
+    val scores = graft.text.TextAnalysis.unigramLogScore(crafted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cut = (scores(0L) + scores(99L)) / 2
+    val (out, r) = new CorpusPipeline(maxLmScore = Some(cut)).run(crafted)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(99L), "noise doc must be LM-filtered")
+    assert(r.afterLm == 10 && r.afterQuality == 11)
+    // without the filter the noise doc survives the funnel
+    val (out2, r2) = new CorpusPipeline().run(crafted)
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet.contains(99L))
+    assert(r2.afterLm == r2.afterQuality)
   }
 
   test("text stages execute exactly once (no recompute amplification)") {
