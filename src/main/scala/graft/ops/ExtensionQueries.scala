@@ -319,6 +319,38 @@ object ExtensionQueries {
       .limit(200)
   }
 
+  // ---- E-39 deterministic train/val/test split ---------------------------
+  // Hash-range assignment (~80/10/10 on the first sha256 byte): stable
+  // under reruns, partitioning and engine — the split a reproducible
+  // training pipeline needs. Membership is provable per key; the oracle
+  // recomputes the identical assignment.
+  def extSplit(s: SparkSession, dir: String): DataFrame = {
+    val b = conv(substring(sha2(col("c_custkey").cast("string"), 256), 1, 2),
+      16, 10).cast("int")
+    t(s, dir, "customer")
+      .withColumn("split",
+        when(b < 205, "train").when(b < 230, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+      .orderBy("split")
+  }
+
+  // ---- E-38 triangle counting --------------------------------------------
+  // Cohesion over the part co-purchase graph: parts are adjacent when
+  // they appear in the same order. Degree-oriented triple join counts
+  // each triangle once and credits its 3 corners; top-20 by count.
+  def extTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val edges = li.select(col("l_orderkey").as("o"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey").as("o"), col("l_partkey").as("v")), "o")
+      .filter(col("u") < col("v"))
+      .select("u", "v")
+      .distinct()
+    Triangles.perNode(edges)
+      .orderBy(desc("n_triangles"), asc("id"))
+      .limit(20)
+  }
+
   // ---- E-37 fuzzy string join (entity resolution) ------------------------
   // Distinct part names within edit distance 2 of each other (typo/
   // variant detection: 'cold anvil' ~ 'old anvil'). lev ≤ 2 implies
@@ -562,6 +594,8 @@ object ExtensionQueries {
     "ext_weighted_sample" -> (extWeightedSample _),
     "ext_interpolate" -> (extInterpolate _),
     "ext_fuzzy_join" -> (extFuzzyJoin _),
+    "ext_triangles" -> (extTriangles _),
+    "ext_split" -> (extSplit _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -689,6 +723,34 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_split" ->
+      """select split, count(*) n, cast(sum(c_custkey) as bigint) key_sum from (
+        |  select c_custkey,
+        |    case when ('0x' || substr(sha256(cast(c_custkey as varchar)), 1, 2))::int < 205
+        |           then 'train'
+        |         when ('0x' || substr(sha256(cast(c_custkey as varchar)), 1, 2))::int < 230
+        |           then 'val'
+        |         else 'test' end split
+        |  from customer)
+        |group by split order by split""".stripMargin,
+
+    "ext_triangles" ->
+      """with e0 as (select distinct a.l_partkey u, b.l_partkey v
+        |  from lineitem a join lineitem b
+        |  on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey),
+        |deg as (select k, count(*) d from
+        |  (select u k from e0 union all select v from e0) group by k),
+        |e as (select
+        |    case when da.d < db.d or (da.d = db.d and u < v) then u else v end s,
+        |    case when da.d < db.d or (da.d = db.d and u < v) then v else u end t
+        |  from e0 join deg da on da.k = u join deg db on db.k = v),
+        |tri as (select e1.s a, e1.t b, e2.t c
+        |  from e e1 join e e2 on e1.t = e2.s
+        |  join e e3 on e3.s = e1.s and e3.t = e2.t),
+        |corners as (select unnest([a, b, c]) id from tri)
+        |select id, count(*) n_triangles from corners
+        |group by id order by n_triangles desc, id limit 20""".stripMargin,
 
     "ext_fuzzy_join" ->
       """with p as (select distinct p_name from part)

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting (E-38) — the third graph primitive
+  * beside connected components and PageRank, and the standard
+  * cohesion/spam signal over co-occurrence graphs.
+  *
+  * Algorithm: the classic degree orientation. Each undirected edge is
+  * directed from its lower-(degree, id) endpoint to the higher, making
+  * the graph a DAG in which every triangle appears as EXACTLY one
+  * (e1: a→b, e2: b→c, e3: a→c) path-plus-closure — no post-dedup, no
+  * 6× overcount. Orientation also bounds each node's out-degree by
+  * O(√m) on any graph, which is what keeps the wedge join (e1 ⋈ e2)
+  * from exploding on hubs — the reason this exact plan is the textbook
+  * distributed formulation.
+  *
+  * Cost: one degree aggregate, then two equi-joins keyed on node ids
+  * (wedge build + closure check) — all shuffle-partitionable, AQE
+  * handles residual skew. Output is per-node triangle counts (each
+  * triangle credits its 3 corners).
+  */
+object Triangles {
+
+  /** @param edges undirected edge list as (u, v) with u < v, distinct.
+    * @return (id, n_triangles) for every node in ≥1 triangle.
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("k"))
+      .unionAll(edges.select(col("v").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("k").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("k").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    val triangles = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+}
