@@ -141,6 +141,23 @@ object ContractQueries3 {
         sha2(col("content"), 256).as("sha"))
   }
 
+  // ---- Q79 robust statistics: median absolute deviation (A-18) ----------
+  // Outlier-resistant spread per group: MAD = median(|x − median(x)|).
+  // Two exact-percentile passes; the per-group median table broadcasts
+  // back onto the scan, so the cost is two aggregates — no sort of the
+  // full data (percentile() aggregates, it does not ORDER BY).
+  def q79Mad(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val med = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    o.join(broadcast(med), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(round(min("med"), 2).as("med"),
+        round(expr("percentile(abs(o_totalprice - med), 0.5)"), 2).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Round-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_avro_roundtrip" -> (q71AvroRoundtrip _),
@@ -150,5 +167,6 @@ object ContractQueries3 {
     "q75_variant" -> (q75Variant _),
     "q76_map" -> (q76Map _),
     "q77_regexp2" -> (q77Regexp2 _),
-    "q78_binaryfile" -> (q78Binaryfile _))
+    "q78_binaryfile" -> (q78Binaryfile _),
+    "q79_mad" -> (q79Mad _))
 }

@@ -72,5 +72,14 @@ object OracleSql3 {
         |  cast(sum(length(cast(c_custkey as varchar)) + 1) as bigint) length,
         |  sha256(string_agg(cast(c_custkey as varchar) || chr(10), ''
         |    order by c_custkey)) sha
-        |from customer""".stripMargin)
+        |from customer""".stripMargin,
+
+    "q79_mad" ->
+      """with m as (select o_orderstatus, quantile_cont(o_totalprice, 0.5) med
+        |  from orders group by o_orderstatus)
+        |select o.o_orderstatus, round(min(med), 2) med,
+        |  round(quantile_cont(abs(o_totalprice - med), 0.5), 2) mad,
+        |  count(*) n
+        |from orders o join m using(o_orderstatus)
+        |group by o.o_orderstatus order by o.o_orderstatus""".stripMargin)
 }
