@@ -319,6 +319,21 @@ object ExtensionQueries {
       .limit(200)
   }
 
+  // ---- E-40 text normalization -------------------------------------------
+  // Casefold + accent fold + punctuation strip + whitespace collapse as
+  // one codegen'd chain. The fixture corpus is plain ASCII, so the query
+  // synthesizes a messy prefix (accents, case, punctuation, space runs)
+  // around each doc's text — both engines build the identical dirty
+  // input, then must normalize it identically.
+  def extNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.normalize(
+          concat(lit("  Héllo,,  Wörld! Ça và?  "),
+            upper(substring(col("text"), 1, 60)))).as("norm"))
+      .orderBy("doc_id")
+      .limit(100)
+
   // ---- E-39 deterministic train/val/test split ---------------------------
   // Hash-range assignment (~80/10/10 on the first sha256 byte): stable
   // under reruns, partitioning and engine — the split a reproducible
@@ -596,6 +611,7 @@ object ExtensionQueries {
     "ext_fuzzy_join" -> (extFuzzyJoin _),
     "ext_triangles" -> (extTriangles _),
     "ext_split" -> (extSplit _),
+    "ext_normalize" -> (extNormalize _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -723,6 +739,13 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_normalize" ->
+      """select doc_id, trim(regexp_replace(regexp_replace(
+        |  translate(lower('  Héllo,,  Wörld! Ça và?  ' || upper(substr(text, 1, 60))),
+        |    'àáâãäåèéêëìíîïòóôõöùúûüçñýÿ', 'aaaaaaeeeeiiiiooooouuuucnyy'),
+        |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) norm
+        |from documents order by doc_id limit 100""".stripMargin,
 
     "ext_split" ->
       """select split, count(*) n, cast(sum(c_custkey) as bigint) key_sum from (

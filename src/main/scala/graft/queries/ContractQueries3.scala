@@ -158,6 +158,35 @@ object ContractQueries3 {
       .orderBy("o_orderstatus")
   }
 
+  // ---- Q80 partitioned sink + dynamic partition overwrite (S-12) ---------
+  // The managed-storage write path: orders land partitioned by year,
+  // then ONE partition is surgically rewritten (prices doubled) under
+  // dynamic partitionOverwriteMode — untouched partitions must survive.
+  // The read-back aggregate hash-matches an oracle computing the
+  // expected post-overwrite state, so both the partition layout and the
+  // overwrite scoping are gated cross-engine. (Static mode — the
+  // default — would have dropped every other year on the second write.)
+  def q80DynPartition(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_dynpart_${math.abs(dir.hashCode)}/orders"
+    val o = t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      o.write.mode("overwrite").partitionBy("yr").parquet(tmp)
+      o.filter(col("yr") === 1995)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode("overwrite").partitionBy("yr").parquet(tmp)
+    } finally {
+      prev.fold(s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    s.read.parquet(tmp)
+      .groupBy(col("yr").cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("yr")
+  }
+
   /** Round-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_avro_roundtrip" -> (q71AvroRoundtrip _),
@@ -168,5 +197,6 @@ object ContractQueries3 {
     "q76_map" -> (q76Map _),
     "q77_regexp2" -> (q77Regexp2 _),
     "q78_binaryfile" -> (q78Binaryfile _),
-    "q79_mad" -> (q79Mad _))
+    "q79_mad" -> (q79Mad _),
+    "q80_dynpart" -> (q80DynPartition _))
 }

@@ -81,5 +81,11 @@ object OracleSql3 {
         |  round(quantile_cont(abs(o_totalprice - med), 0.5), 2) mad,
         |  count(*) n
         |from orders o join m using(o_orderstatus)
-        |group by o.o_orderstatus order by o.o_orderstatus""".stripMargin)
+        |group by o.o_orderstatus order by o.o_orderstatus""".stripMargin,
+
+    "q80_dynpart" ->
+      """select cast(year(o_orderdate) as bigint) yr, count(*) n,
+        |  round(sum(case when year(o_orderdate) = 1995
+        |                 then o_totalprice * 2 else o_totalprice end), 2) total
+        |from orders group by 1 order by 1""".stripMargin)
 }

@@ -216,6 +216,26 @@ object TextAnalysis {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
       "[0-9]+", "<NUM>")
 
+  /** Accent fold map for [[normalize]] — Latin-1 letters to their ASCII
+    * base; both strings must stay equal-length (translate is 1:1).
+    */
+  val accentFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"
+  val accentTo   = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+  /** Canonical text normalization for dedup/matching pre-processing:
+    * casefold → accent fold (translate, 1:1) → strip non-alnum →
+    * collapse runs of whitespace → trim. A pure codegen'd expression
+    * chain in the RE2 ∩ java.util.regex common dialect, so any engine
+    * reproduces it character-for-character — normalize(a) == normalize(b)
+    * is then a portable match key.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(lower(text), accentFrom, accentTo),
+        "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** Polynomial rolling hash of the token sequence (order-sensitive) —
     * the classic Rabin-Karp document fingerprint, computed as a fold
     * over the token array (codegen'd `aggregate`, no UDF). Arithmetic is
