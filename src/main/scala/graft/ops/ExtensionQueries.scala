@@ -319,6 +319,33 @@ object ExtensionQueries {
       .limit(200)
   }
 
+  // ---- E-41 sequential conversion funnel ---------------------------------
+  // view → click → purchase in strict event-time order, each step within
+  // 6 hours of the previous: per user, the first view, the first
+  // qualifying click AFTER it, the first qualifying purchase after THAT.
+  // Three keyed aggregates, each joining one tiny (per-user, 1-row)
+  // table back onto the events scan — broadcastable at any scale; nulls
+  // mark funnel drop-off (left joins).
+  def extFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("tv") &&
+        col("ts") <= col("tv") + expr("interval 6 hours"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("tc") &&
+        col("ts") <= col("tc") + expr("interval 6 hours"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .orderBy("user_id")
+      .limit(100)
+  }
+
   // ---- E-40 text normalization -------------------------------------------
   // Casefold + accent fold + punctuation strip + whitespace collapse as
   // one codegen'd chain. The fixture corpus is plain ASCII, so the query
@@ -612,6 +639,7 @@ object ExtensionQueries {
     "ext_triangles" -> (extTriangles _),
     "ext_split" -> (extSplit _),
     "ext_normalize" -> (extNormalize _),
+    "ext_funnel" -> (extFunnel _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -739,6 +767,19 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_funnel" ->
+      """with v as (select user_id, min(ts) tv from events
+        |  where event_type = 'view' group by 1),
+        |c as (select e.user_id, min(e.ts) tc from events e join v using(user_id)
+        |      where e.event_type = 'click' and e.ts > v.tv
+        |        and e.ts <= v.tv + interval 6 hours group by 1),
+        |p as (select e.user_id, min(e.ts) tp from events e join c using(user_id)
+        |      where e.event_type = 'purchase' and e.ts > c.tc
+        |        and e.ts <= c.tc + interval 6 hours group by 1)
+        |select user_id, tv, tc, tp
+        |from v left join c using(user_id) left join p using(user_id)
+        |order by user_id limit 100""".stripMargin,
 
     "ext_normalize" ->
       """select doc_id, trim(regexp_replace(regexp_replace(
