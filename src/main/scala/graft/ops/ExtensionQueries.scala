@@ -319,6 +319,40 @@ object ExtensionQueries {
       .limit(200)
   }
 
+  // ---- E-42 retention cohorts --------------------------------------------
+  // Users cohorted by first-event day; per (cohort, day offset) distinct
+  // active users — the standard retention triangle. Two aggregates and
+  // one join of a per-user 1-row table back onto the scan.
+  def extRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("user_id", "ts")
+    val first = e.groupBy("user_id").agg(to_date(min("ts")).as("cohort"))
+    e.join(first, "user_id")
+      .select(col("cohort"),
+        datediff(to_date(col("ts")), col("cohort")).cast("long").as("offs"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort", "offs")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cohort", "offs")
+      .limit(100)
+  }
+
+  // ---- E-43 data-quality audit -------------------------------------------
+  // Declarative expectations over orders, all folded into one aggregate
+  // pass (ops.Expectations): key uniqueness, value ranges, domain
+  // membership. The price_above_400k rule fires (~20% of rows) so the
+  // report hash is non-trivial; the structural rules hold at zero.
+  def extExpectations(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    Expectations.audit(t(s, dir, "orders"), Seq(
+        UniqueRule("dup_orderkey", col("o_orderkey")),
+        RowRule("nonpos_price", col("o_totalprice") <= 0),
+        RowRule("null_date", col("o_orderdate").isNull),
+        RowRule("bad_status", !col("o_orderstatus").isin("F", "O", "P")),
+        RowRule("price_above_400k", col("o_totalprice") > 400000)))
+      .orderBy("rule")
+  }
+
   // ---- E-41 sequential conversion funnel ---------------------------------
   // view → click → purchase in strict event-time order, each step within
   // 6 hours of the previous: per user, the first view, the first
@@ -640,6 +674,8 @@ object ExtensionQueries {
     "ext_split" -> (extSplit _),
     "ext_normalize" -> (extNormalize _),
     "ext_funnel" -> (extFunnel _),
+    "ext_retention" -> (extRetention _),
+    "ext_expectations" -> (extExpectations _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -767,6 +803,31 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_retention" ->
+      """with f as (select user_id, date_trunc('day', min(ts)) cohort
+        |  from events group by 1),
+        |a as (select distinct f.cohort,
+        |    date_diff('day', f.cohort, date_trunc('day', e.ts)) offs, e.user_id
+        |  from events e join f using(user_id))
+        |select cast(cohort as date) cohort, cast(offs as bigint) offs, count(*) n
+        |from a group by 1, 2 order by 1, 2 limit 100""".stripMargin,
+
+    "ext_expectations" ->
+      """with m as (select count(*) n,
+        |  count(o_orderkey) - count(distinct o_orderkey) dup_orderkey,
+        |  sum(case when o_totalprice <= 0 then 1 else 0 end) nonpos_price,
+        |  sum(case when o_orderdate is null then 1 else 0 end) null_date,
+        |  sum(case when o_orderstatus not in ('F','O','P') then 1 else 0 end) bad_status,
+        |  sum(case when o_totalprice > 400000 then 1 else 0 end) price_above_400k
+        |  from orders)
+        |select "rule", cast(violations as bigint) violations, cast(n as bigint) n_rows from (
+        |  select 'dup_orderkey' "rule", dup_orderkey violations, n from m
+        |  union all select 'nonpos_price', nonpos_price, n from m
+        |  union all select 'null_date', null_date, n from m
+        |  union all select 'bad_status', bad_status, n from m
+        |  union all select 'price_above_400k', price_above_400k, n from m)
+        |order by "rule"""".stripMargin,
 
     "ext_funnel" ->
       """with v as (select user_id, min(ts) tv from events
