@@ -319,6 +319,31 @@ object ExtensionQueries {
       .limit(200)
   }
 
+  // ---- E-44 nearest-centroid classification eval -------------------------
+  // The standard embedding-quality check: per-label mean vectors, assign
+  // every vector to its nearest centroid (squared L2), emit the
+  // confusion matrix. Distances are relational (dim explode + join on
+  // dim + sum), so nothing materializes dense matrices; the centroid
+  // table is labels×dims rows — broadcastable at any corpus size. Only
+  // the integer counts are output, so float summation-order noise
+  // (~1e-15, far below any real centroid gap) never reaches the hash.
+  def extCentroidEval(s: SparkSession, dir: String): DataFrame = {
+    val dims = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = dims.groupBy(col("label").as("clabel"), col("i"))
+      .agg(avg("x").as("cx"))
+    val dist = dims.join(broadcast(cent), "i")
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+    dist.groupBy("vec_id", "label")
+      .agg(expr("min_by(clabel, d2)").as("assigned"))
+      .groupBy("label", "assigned")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
+
   // ---- E-42 retention cohorts --------------------------------------------
   // Users cohorted by first-event day; per (cohort, day offset) distinct
   // active users — the standard retention triangle. Two aggregates and
@@ -676,6 +701,7 @@ object ExtensionQueries {
     "ext_funnel" -> (extFunnel _),
     "ext_retention" -> (extRetention _),
     "ext_expectations" -> (extExpectations _),
+    "ext_centroid_eval" -> (extCentroidEval _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -803,6 +829,18 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_centroid_eval" ->
+      """with dims as (select vec_id, label, cast(unnest(embedding) as double) x,
+        |    generate_subscripts(embedding, 1) i from embeddings),
+        |cent as (select label clabel, i, avg(x) cx from dims group by 1, 2),
+        |dist as (select d.vec_id, d.label, c.clabel,
+        |    sum((d.x - c.cx)*(d.x - c.cx)) d2
+        |  from dims d join cent c using(i) group by 1, 2, 3),
+        |assigned as (select vec_id, label, arg_min(clabel, d2) assigned
+        |  from dist group by 1, 2)
+        |select label, assigned, count(*) n from assigned
+        |group by 1, 2 order by 1, 2""".stripMargin,
 
     "ext_retention" ->
       """with f as (select user_id, date_trunc('day', min(ts)) cohort
