@@ -230,6 +230,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(seen.get() > 0)
   }
 
+  test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
+    // The lakehouse MERGE pattern without a table format: each
+    // micro-batch folds into a running latest-per-key state via
+    // ops.Upsert. Incremental merge ≡ global latest BECAUSE
+    // latest-per-key under a total (ts, event_id) order is an
+    // associative fold — which is exactly what this replay pins.
+    // Two-file replay (fixture twice, maxFilesPerTrigger=1) forces
+    // multiple batches; duplicate ids tie on (ts, event_id) with equal
+    // values, so the fold is unaffected.
+    val tmp = Files.createTempDirectory("events_cdc")
+    val src = Paths.get(s"$sf0001/events.parquet")
+    Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    var batches = 0
+    val q = Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val updates = batch.select("user_id", "value", "ts", "event_id")
+        batches += 1
+        val merged = graft.ops.Upsert.latestPerKey(
+          Option(state.get).fold(updates)(_.unionByName(updates)),
+          "user_id", Seq(col("ts"), col("event_id")))
+        // materialize so the next fold doesn't re-read sink state lazily
+        import scala.jdk.CollectionConverters._
+        state.set(spark.createDataFrame(
+          merged.collect().toSeq.asJava, merged.schema))
+        ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    val expected = graft.ops.Upsert.latestPerKey(
+      batchEvents.select("user_id", "value", "ts", "event_id"),
+      "user_id", Seq(col("ts"), col("event_id")))
+    assert(canon(state.get) == canon(expected))
+  }
+
   test("ST-8 stream-stream interval join equals batch interval join") {
     val src = Streams.readEvents(spark, eventsDir)
     val got = replay(Streams.clickViewJoin(src), "append")
