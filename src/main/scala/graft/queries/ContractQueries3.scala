@@ -187,6 +187,21 @@ object ContractQueries3 {
       .orderBy("yr")
   }
 
+  // ---- Q81 array completion (F-4c): append/prepend/compact/overlap -------
+  def q81Arr3(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(array_append(slice(toks, 1, 3), lit("zzz")), ",").as("ap"),
+        array_join(array_prepend(slice(toks, 1, 3), lit("aaa")), ",").as("pp"),
+        size(array_compact(transform(toks,
+          tok => when(tok === "the", lit(null)).otherwise(tok))))
+          .cast("long").as("nc"),
+        arrays_overlap(toks, array(lit("spark"), lit("hash"))).as("ov"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
   /** Round-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_avro_roundtrip" -> (q71AvroRoundtrip _),
@@ -198,5 +213,6 @@ object ContractQueries3 {
     "q77_regexp2" -> (q77Regexp2 _),
     "q78_binaryfile" -> (q78Binaryfile _),
     "q79_mad" -> (q79Mad _),
-    "q80_dynpart" -> (q80DynPartition _))
+    "q80_dynpart" -> (q80DynPartition _),
+    "q81_arr3" -> (q81Arr3 _))
 }

@@ -87,5 +87,15 @@ object OracleSql3 {
       """select cast(year(o_orderdate) as bigint) yr, count(*) n,
         |  round(sum(case when year(o_orderdate) = 1995
         |                 then o_totalprice * 2 else o_totalprice end), 2) total
-        |from orders group by 1 order by 1""".stripMargin)
+        |from orders group by 1 order by 1""".stripMargin,
+
+    "q81_arr3" ->
+      """with l as (select doc_id,
+        |  list_filter(string_split(text,' '), w -> w <> '') tl from documents)
+        |select doc_id,
+        |  array_to_string(list_append(tl[1:3], 'zzz'), ',') ap,
+        |  array_to_string(list_prepend('aaa', tl[1:3]), ',') pp,
+        |  len(list_filter(tl, w -> w <> 'the')) nc,
+        |  list_has_any(tl, ['spark','hash']) ov
+        |from l order by doc_id limit 100""".stripMargin)
 }

@@ -41,6 +41,13 @@ class BloomJoinSpec extends AnyFunSuite with SparkFixture {
       plain.exceptAll(viaBloom).count() == 0)
   }
 
+  test("empty dim side: prefilter keeps nothing, join result is empty") {
+    val noOrders = urgent.filter(lit(false))
+    val pre = BloomJoin.prefilter(lineitem, "l_orderkey", noOrders, "o_orderkey")
+    assert(pre.count() == 0, "bloom over zero keys must reject everything")
+    assert(BloomJoin.join(lineitem, "l_orderkey", noOrders, "o_orderkey").count() == 0)
+  }
+
   test("prefilter plans as scan+filter: no join node, filter is a literal") {
     val pre = BloomJoin.prefilter(lineitem, "l_orderkey", urgent, "o_orderkey")
     val plan = pre.queryExecution.sparkPlan.toString
