@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension queries (dedup, similarity search, text
@@ -317,6 +318,29 @@ object ExtensionQueries {
       .select(col("user_id"), col("h"), round(col("value"), 2).as("v"))
       .orderBy("user_id", "h")
       .limit(200)
+  }
+
+  // ---- E-45 per-group distinctive terms (c-TF-IDF) -----------------------
+  // Top-3 characteristic words per source group: tf within the group
+  // weighted by ln(1 + n_groups/df_groups) — the class-based TF-IDF
+  // corpus-exploration op. Rank runs on the ROUNDED score (both
+  // engines), so float ulps never reorder; exact ties break by word.
+  def extCtfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("source"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+    val tf = toks.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("w").agg(count(lit(1)).as("dfs"))
+    val ns = docs.agg(countDistinct("source").cast("double").as("n"))
+    tf.join(broadcast(dfs), "w")
+      .crossJoin(broadcast(ns))
+      .withColumn("score", round(col("tf") * log(lit(1.0) + col("n") / col("dfs")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("score"), asc("w"))))
+      .filter(col("rk") <= 3)
+      .select("source", "w", "score")
+      .orderBy(asc("source"), desc("score"), asc("w"))
+      .limit(60)
   }
 
   // ---- E-44 nearest-centroid classification eval -------------------------
@@ -702,6 +726,7 @@ object ExtensionQueries {
     "ext_retention" -> (extRetention _),
     "ext_expectations" -> (extExpectations _),
     "ext_centroid_eval" -> (extCentroidEval _),
+    "ext_ctfidf" -> (extCtfidf _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -829,6 +854,20 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_ctfidf" ->
+      """with toks as (select source,
+        |  unnest(list_filter(string_split(text,' '), w -> w <> '')) w from documents),
+        |tf as (select source, w, count(*) tf from toks group by 1, 2),
+        |df as (select w, count(*) dfs from tf group by w),
+        |ns as (select cast(count(distinct source) as double) n from documents),
+        |scored as (select source, w, round(tf * ln(1 + n / dfs), 4) score
+        |  from tf join df using(w) cross join ns),
+        |r as (select source, w, score,
+        |  row_number() over (partition by source order by score desc, w) rk
+        |  from scored)
+        |select source, w, score from r where rk <= 3
+        |order by source, score desc, w limit 60""".stripMargin,
 
     "ext_centroid_eval" ->
       """with dims as (select vec_id, label, cast(unnest(embedding) as double) x,

@@ -91,6 +91,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(s(3L) - -math.log(1.0 / 4.0)) < 1e-9)
   }
 
+  test("normalize folds case/accents/punctuation and is idempotent") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "  Héllo,,  Wörld! Ça và?  "),
+      (2L, "already clean text"),
+      (3L, "MiXeD   CaSe---dashes")))
+      .toDF("doc_id", "text")
+    val once = df.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("n"))
+    val got = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hello world ca va", s"got '${got(1L)}'")
+    assert(got(2L) == "already clean text")
+    assert(got(3L) == "mixed case dashes")
+    // idempotence: normalizing a normalized string is the identity
+    val twice = once.select(col("doc_id"), TextAnalysis.normalize(col("n")).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got)
+  }
+
   test("bm25: more query-term hits score higher; termless docs absent") {
     val df = spark.createDataFrame(Seq(
       (0L, "spark spark table pad pad"),
