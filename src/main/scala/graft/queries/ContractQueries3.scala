@@ -49,6 +49,19 @@ object ContractQueries3 {
   def q71AvroRoundtrip(s: SparkSession, dir: String): DataFrame = roundTrip(s, dir, "avro")
   def q72XmlRoundtrip(s: SparkSession, dir: String): DataFrame = roundTrip(s, dir, "xml")
 
+  // S-13: JSON-lines file source/sink, same gate (schema-on-read pins
+  // types; doubles survive via Java's round-trip-exact formatting).
+  def q82JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_rt_${math.abs(dir.hashCode)}/json/customer"
+    t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").json(tmp)
+    s.read.schema("c_custkey long, c_mktsegment string, c_acctbal double")
+      .json(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_mktsegment")
+  }
+
   // ---- Q73 batch session windows (ST-3's cross-engine anchor) ------------
   // session_window(ts, 30 min) in BATCH mode: Spark merges events into
   // sessions [first, last+gap) where consecutive events merge iff
@@ -214,5 +227,6 @@ object ContractQueries3 {
     "q78_binaryfile" -> (q78Binaryfile _),
     "q79_mad" -> (q79Mad _),
     "q80_dynpart" -> (q80DynPartition _),
-    "q81_arr3" -> (q81Arr3 _))
+    "q81_arr3" -> (q81Arr3 _),
+    "q82_json_roundtrip" -> (q82JsonRoundtrip _))
 }

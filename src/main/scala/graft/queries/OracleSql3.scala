@@ -21,6 +21,7 @@ object OracleSql3 {
   val all: Map[String, String] = Map(
     "q71_avro_roundtrip" -> customerRollup,
     "q72_xml_roundtrip" -> customerRollup,
+    "q82_json_roundtrip" -> customerRollup,
 
     "q73_sessionwin" ->
       """with e as (select user_id, ts, event_id,
