@@ -111,7 +111,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
                                 // ext_sim_pairs is blocked, no BNLJ)
       "q29",                  // tf × broadcast(1-row total-doc count)
       "ext_lm_score",         // tokens × broadcast(1-row total-count)
-      "ext_bm25")             // tf × broadcast(1-row corpus stats)
+      "ext_bm25",             // tf × broadcast(1-row corpus stats)
+      "ext_ctfidf")           // tf × broadcast(1-row group count)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
