@@ -215,6 +215,27 @@ object ContractQueries3 {
       .limit(100)
   }
 
+  // ---- Q83 SQL DDL/DML: CTAS + INSERT INTO + catalog read (S-14) ---------
+  // The managed-table path: CREATE TABLE ... USING parquet AS SELECT
+  // into the session catalog (in-memory catalog + filesystem warehouse,
+  // no Hive), append via INSERT INTO, read back through the catalog by
+  // name. DROP-first keeps the query rerun-idempotent.
+  def q83Ctas(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("graft_nation_v")
+    s.sql("DROP TABLE IF EXISTS graft_ctas")
+    // DROP only removes what THIS session's in-memory catalog knows; a
+    // warehouse dir left by a previous session would still fail CTAS
+    // with LOCATION_ALREADY_EXISTS — remove the location itself.
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_ctas")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    s.sql("""CREATE TABLE graft_ctas USING parquet AS
+             SELECT n_regionkey, count(*) AS n
+             FROM graft_nation_v GROUP BY n_regionkey""")
+    s.sql("INSERT INTO graft_ctas VALUES (99, 0)")
+    s.sql("SELECT n_regionkey, n FROM graft_ctas ORDER BY n_regionkey")
+  }
+
   /** Round-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_avro_roundtrip" -> (q71AvroRoundtrip _),
@@ -228,5 +249,6 @@ object ContractQueries3 {
     "q79_mad" -> (q79Mad _),
     "q80_dynpart" -> (q80DynPartition _),
     "q81_arr3" -> (q81Arr3 _),
-    "q82_json_roundtrip" -> (q82JsonRoundtrip _))
+    "q82_json_roundtrip" -> (q82JsonRoundtrip _),
+    "q83_ctas" -> (q83Ctas _))
 }

@@ -23,6 +23,12 @@ object OracleSql3 {
     "q72_xml_roundtrip" -> customerRollup,
     "q82_json_roundtrip" -> customerRollup,
 
+    "q83_ctas" ->
+      """select n_regionkey, n from (
+        |  select n_regionkey, count(*) n from nation group by n_regionkey
+        |  union all select 99, 0)
+        |order by n_regionkey""".stripMargin,
+
     "q73_sessionwin" ->
       """with e as (select user_id, ts, event_id,
         |    case when lag(ts) over (partition by user_id order by ts, event_id) is null
