@@ -16,7 +16,11 @@ object Skew {
     * rows land in `factor` different shuffle partitions instead of one.
     * Use when the build side is small enough to replicate but too big
     * to broadcast. Salt is derived from a per-row id, so the spread is
-    * uniform regardless of the key distribution.
+    * uniform regardless of the key distribution. NB the id depends on
+    * partition layout, so a re-run on different partitioning
+    * REDISTRIBUTES rows across salt buckets — the join RESULT is
+    * unchanged (every salted probe row still meets every build replica
+    * of its key); only the internal spread is layout-dependent.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       factor: Int): DataFrame = {
