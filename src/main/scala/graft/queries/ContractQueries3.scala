@@ -215,6 +215,23 @@ object ContractQueries3 {
       .limit(100)
   }
 
+  // ---- Q84 small-file compaction (S-15) ----------------------------------
+  // customer is deliberately fragmented into 64 tiny files, compacted
+  // back (sources.Compaction), and the read-back rollup must hash-match
+  // the direct-table oracle — values untouched, file count collapsed
+  // (the count drop itself is asserted in CompactionSpec).
+  def q84Compact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_compact_${math.abs(dir.hashCode)}/customer"
+    t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      .repartition(64)
+      .write.mode("overwrite").parquet(tmp)
+    graft.sources.Compaction.compactParquet(s, tmp)
+    s.read.parquet(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_mktsegment")
+  }
+
   // ---- Q83 SQL DDL/DML: CTAS + INSERT INTO + catalog read (S-14) ---------
   // The managed-table path: CREATE TABLE ... USING parquet AS SELECT
   // into the session catalog (in-memory catalog + filesystem warehouse,
@@ -250,5 +267,6 @@ object ContractQueries3 {
     "q80_dynpart" -> (q80DynPartition _),
     "q81_arr3" -> (q81Arr3 _),
     "q82_json_roundtrip" -> (q82JsonRoundtrip _),
-    "q83_ctas" -> (q83Ctas _))
+    "q83_ctas" -> (q83Ctas _),
+    "q84_compact" -> (q84Compact _))
 }

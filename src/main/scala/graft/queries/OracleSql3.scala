@@ -22,6 +22,7 @@ object OracleSql3 {
     "q71_avro_roundtrip" -> customerRollup,
     "q72_xml_roundtrip" -> customerRollup,
     "q82_json_roundtrip" -> customerRollup,
+    "q84_compact" -> customerRollup,
 
     "q83_ctas" ->
       """select n_regionkey, n from (
