@@ -115,7 +115,7 @@ object Streams {
     * bound; with them state per side is O(rate × (watermark + window))).
     */
   def clickViewJoin(events: DataFrame, watermark: String = "10 minutes",
-      windowBack: String = "30 minutes"): DataFrame = {
+      windowBack: String = "30 minutes", joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("cu"),
         col("ts").as("cts"))
@@ -124,12 +124,32 @@ object Streams {
       .select(col("event_id").as("view_id"), col("user_id").as("vu"),
         col("ts").as("vts"))
       .withWatermark("vts", watermark)
-    clicks.join(views,
+    val joined = clicks.join(views,
         col("cu") === col("vu") &&
         col("vts") >= col("cts") - expr(s"interval $windowBack") &&
-        col("vts") <= col("cts"))
-      .select(col("click_id"), col("view_id"), col("cu").as("user_id"))
+        col("vts") <= col("cts"),
+        joinType)
+    // outer variants keep cts so callers can reason about the
+    // watermark-withheld tail; the inner contract is unchanged
+    if (joinType == "inner")
+      joined.select(col("click_id"), col("view_id"), col("cu").as("user_id"))
+    else
+      joined.select(col("click_id"), col("view_id"), col("cu").as("user_id"),
+        col("cts"))
   }
+
+  // ---- ST-12 stream-stream LEFT OUTER interval join ----------------------
+  /** Same join, left outer: a click with no qualifying view emits a
+    * null-extended row — but only once the watermark has passed far
+    * enough that a matching view can no longer arrive (cts + delay).
+    * That withheld tail is inherent to streaming outer joins: rows
+    * younger than (final watermark − window) stay buffered at stream
+    * end, which is exactly what the ST-12 replay asserts against the
+    * batch left join.
+    */
+  def clickViewLeftOuter(events: DataFrame, watermark: String = "10 minutes",
+      windowBack: String = "30 minutes"): DataFrame =
+    clickViewJoin(events, watermark, windowBack, "left_outer")
 
   // ---- ST-7 arbitrary stateful processing --------------------------------
   case class UserSessState(lastTs: Long, nSessions: Long, nEvents: Long)
