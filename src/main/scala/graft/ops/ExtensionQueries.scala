@@ -320,6 +320,28 @@ object ExtensionQueries {
       .limit(200)
   }
 
+  // ---- E-46 robust outlier detection (MAD z-score) -----------------------
+  // Orders whose price deviates from the group median by more than
+  // 3 robust standard deviations (1.4826·MAD ≈ σ under normality) —
+  // the outlier flag that survives the outliers themselves, unlike
+  // mean/stddev. Three aggregates; the per-group stats broadcast back.
+  // Integer counts out, so float noise never reaches the hash.
+  def extAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val med = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val mad = o.join(broadcast(med), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(min("med").as("med"),
+        expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"))
+    o.join(broadcast(mad), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("o_totalprice") - col("med")) >
+          lit(3 * 1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---- E-45 per-group distinctive terms (c-TF-IDF) -----------------------
   // Top-3 characteristic words per source group: tf within the group
   // weighted by ln(1 + n_groups/df_groups) — the class-based TF-IDF
@@ -727,6 +749,7 @@ object ExtensionQueries {
     "ext_expectations" -> (extExpectations _),
     "ext_centroid_eval" -> (extCentroidEval _),
     "ext_ctfidf" -> (extCtfidf _),
+    "ext_anomaly" -> (extAnomaly _),
     "ext_dedup_exact" -> (extDedupExact _),
     "ext_minhash_neardup" -> (extMinhashNearDup _),
     "ext_simhash_neardup" -> (extSimhashNearDup _),
@@ -854,6 +877,19 @@ object ExtensionQueries {
       s"""with $bigramCte
         |select bg, count(*) cnt from bg
         |group by bg order by cnt desc, bg limit 20""".stripMargin,
+
+    "ext_anomaly" ->
+      """with m as (select o_orderstatus, quantile_cont(o_totalprice, 0.5) med
+        |  from orders group by o_orderstatus),
+        |md as (select o.o_orderstatus, min(med) med,
+        |    quantile_cont(abs(o_totalprice - med), 0.5) mad
+        |  from orders o join m using(o_orderstatus) group by o.o_orderstatus)
+        |select o.o_orderstatus, count(*) n,
+        |  cast(sum(case when abs(o_totalprice - med)
+        |    > (cast(3 as double) * cast(1.4826 as double)) * mad
+        |    then 1 else 0 end) as bigint) n_outliers
+        |from orders o join md using(o_orderstatus)
+        |group by o.o_orderstatus order by o.o_orderstatus""".stripMargin,
 
     "ext_ctfidf" ->
       """with toks as (select source,
