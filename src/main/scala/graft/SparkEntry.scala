@@ -15,12 +15,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.ContractQueries.all ++ graft.queries.ContractQueries2.all ++
-      graft.queries.ContractQueries3.all ++ graft.ops.ExtensionQueries.all
+      graft.queries.ContractQueries3.all ++ graft.queries.ContractQueries4.all ++
+      graft.ops.ExtensionQueries.all ++ graft.ops.ExtensionQueries2.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.OracleSql.all ++ graft.queries.OracleSql2.all ++
-      graft.queries.OracleSql3.all ++ graft.ops.ExtensionQueries.oracleSql
+      graft.queries.OracleSql3.all ++ graft.queries.OracleSql4.all ++
+      graft.ops.ExtensionQueries.oracleSql ++ graft.ops.ExtensionQueries2.oracleSql
 }

@@ -1,0 +1,38 @@
+package graft.queries
+
+/** DuckDB-dialect oracles for ContractQueries4. Dialect notes:
+  *  - q85: DuckDB regr_count returns DOUBLE (Postgres heritage) — cast;
+  *    the regr_* math itself is the same covar_pop/var_pop arithmetic.
+  *  - q86: DuckDB skewness/kurtosis are SAMPLE-corrected; Spark's are
+  *    population forms, so the oracle computes the population moments
+  *    explicitly from a two-pass mean join. DuckDB sum() on integers
+  *    widens to HUGEINT — cast back to BIGINT.
+  */
+object OracleSql4 {
+
+  val all: Map[String, String] = Map(
+    "q85_regr" ->
+      """select l_returnflag,
+        |  cast(regr_count(l_extendedprice, l_quantity) as bigint) rc,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) ax,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) ay,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) sl,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) ic,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) r2
+        |from lineitem group by l_returnflag order by l_returnflag""".stripMargin,
+
+    "q86_moments" ->
+      """with mu as (select o_orderstatus, avg(o_totalprice) m
+        |  from orders group by 1)
+        |select o.o_orderstatus,
+        |  round((sum(pow(o_totalprice - m, 3)) / count(*))
+        |        / pow(sum(pow(o_totalprice - m, 2)) / count(*), 1.5), 6) sk,
+        |  round((sum(pow(o_totalprice - m, 4)) / count(*))
+        |        / pow(sum(pow(o_totalprice - m, 2)) / count(*), 2) - 3, 6) kt,
+        |  cast(bit_and(o_custkey) as bigint) ba,
+        |  cast(bit_or(o_custkey) as bigint) bo,
+        |  cast(bit_xor(o_custkey) as bigint) bx,
+        |  count(*) n
+        |from orders o join mu using(o_orderstatus)
+        |group by o.o_orderstatus order by o.o_orderstatus""".stripMargin)
+}

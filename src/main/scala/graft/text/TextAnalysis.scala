@@ -144,6 +144,39 @@ object TextAnalysis {
     df.select(explode(bigrams(col(textCol))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cnt"))
 
+  /** Gopher-style repetition signals (E-48) — the classic quality-filter
+    * features for LLM training data (Rae et al. 2021 §A1.1): per
+    * document, the fraction of 3-gram occurrences whose 3-gram repeats
+    * within the document (`dup3_frac`), and the share of the single most
+    * frequent bigram among all bigram occurrences (`top2_frac`).
+    * Machine-generated / boilerplate text scores high on both.
+    *
+    * Fully relational and scale-safe for arbitrarily long documents:
+    * n-gram expansion is the zero-shuffle [[Decontamination.ngrams]] /
+    * [[bigrams]] projection, then two (doc, gram)-keyed count aggregates
+    * — never an O(L²) per-row loop. Both feature tables are doc-keyed
+    * aggregates of the same explode, so the final join co-partitions.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val g3 = df
+      .select(col(idCol), explode(Decontamination.ngrams(col(textCol), 3)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n3"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("dup3"))
+    val g2 = df
+      .select(col(idCol), explode(bigrams(col(textCol))).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n2"), max("c").as("top2"))
+    g3.join(g2, idCol)
+      .select(col(idCol), col("n3"), col("dup3"),
+        round(col("dup3") / col("n3"), 4).as("dup3_frac"),
+        col("n2"), col("top2"),
+        round(col("top2") / col("n2"), 4).as("top2_frac"))
+  }
+
   /** Bigram language-model scoring — the order-2 upgrade of
     * [[unigramLogScore]]: per document, the mean negative conditional
     * log-likelihood −ln c(w1,w2)/c(w1·) of its adjacent token pairs

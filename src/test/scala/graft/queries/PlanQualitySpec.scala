@@ -107,6 +107,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_embed_topk",       // brute-force baseline, same probe pattern
       "ext_ann_recall",       // brute-force oracle + 1-row agg × 1-row agg
       "ext_ivf_topk",         // corpus × broadcast(16 centroids)
+      "ext_semdedup",         // corpus × broadcast(8 centroids), then
+                              // equi-join on cid — the SemDeDup shape
       "ext_sim_pairs_allpairs", // all-pairs ORACLE pin (production path
                                 // ext_sim_pairs is blocked, no BNLJ)
       "q29",                  // tf × broadcast(1-row total-doc count)
