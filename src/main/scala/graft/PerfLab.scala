@@ -134,7 +134,8 @@ object PerfLab {
         val afterNear = nearKept.count()
         val outCount = nearKept.count()
         pipeline.PipelineReport(input, input, afterLang, afterQuality,
-          afterQuality, afterExact, afterNear, outCount)
+          afterQuality, afterQuality, afterQuality, afterExact, afterNear,
+          outCount)
       }
       def shippedRun(): pipeline.PipelineReport = {
         val (out, r) = new pipeline.CorpusPipeline(nearDupThreshold = 0.5).run(docs)

@@ -91,7 +91,14 @@ object ExtensionQueries2 {
       .orderBy("hops")
   }
 
+  // ---- E-52 token-distribution entropy ---------------------------------------
+  def extEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(t(s, dir, "documents"))
+      .orderBy("doc_id")
+      .limit(100)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_entropy" -> (extEntropy _),
     "ext_decontaminate" -> (extDecontaminate _),
     "ext_repetition" -> (extRepetition _),
     "ext_semdedup" -> (extSemdedup _),
@@ -99,6 +106,15 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_entropy" ->
+      """with c as (select doc_id, tok, count(*) c
+        |  from (select doc_id, unnest(list_filter(string_split(text, ' '),
+        |      w -> w <> '')) tok from documents)
+        |  group by 1, 2)
+        |select doc_id, cast(sum(c) as bigint) n_tok,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) entropy
+        |from c group by doc_id order by doc_id limit 100""".stripMargin,
+
     "ext_decontaminate" ->
       """with tok as (select doc_id,
         |    list_filter(string_split(text, ' '), w -> w <> '') tl

@@ -1,30 +1,38 @@
 package graft.pipeline
 
 import graft.ops.{ConnectedComponents, Dedup, Sampling}
-import graft.text.TextAnalysis
+import graft.text.{Decontamination, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Per-stage surviving-document counts from a pipeline run.
-  * afterLm == afterQuality when the LM filter is disabled.
+/** Per-stage surviving-document counts from a pipeline run. An optional
+  * stage that is disabled reports the same count as its predecessor
+  * (afterRepetition == afterQuality, afterLm == afterRepetition,
+  * afterDecontam == afterLm).
   */
 case class PipelineReport(
     input: Long, afterScrub: Long, afterLang: Long, afterQuality: Long,
-    afterLm: Long, afterExactDedup: Long, afterNearDedup: Long, output: Long)
+    afterRepetition: Long, afterLm: Long, afterDecontam: Long,
+    afterExactDedup: Long, afterNearDedup: Long, output: Long)
 
 /** End-to-end training-corpus preparation: the individual operators
   * (each independently DuckDB-oracled — see ExtensionQueries) composed
   * into the standard cleaning funnel:
   *
-  *   scrub → language filter → quality filter → optional LM filter →
+  *   scrub → language filter → quality filter → optional repetition
+  *   filter → optional LM filter → optional eval-set decontamination →
   *   exact dedup → MinHash near-dedup → optional per-language cap
   *
-  * The LM stage is the CCNet-style perplexity cut at order 1: docs whose
-  * mean −ln p(token) under the corpus' own unigram distribution exceeds
-  * `maxLmScore` (rare-token soup, boilerplate noise) are dropped. It
-  * reads the already-persisted `scored` cache twice (once for the count
-  * table, once for the join) — no funnel recompute.
+  * The repetition stage is the Gopher-style cut: docs whose duplicated-
+  * 3-gram occurrence fraction exceeds `maxDup3Frac` (template/generated
+  * text) are dropped. The LM stage is the CCNet-style perplexity cut at
+  * order 1: docs whose mean −ln p(token) under the corpus' own unigram
+  * distribution exceeds `maxLmScore` (rare-token soup) are dropped.
+  * Decontamination drops docs sharing any `contamNgram`-gram with
+  * `evalCorpus` — the test-set-leakage guard; the eval n-gram set is
+  * tiny and broadcasts, so the stage's only aggregate is the per-doc
+  * hit count.
   *
   * Every stage is a narrow projection or an already-scale-proven op.
   * Near-dup removal is cluster-based: qualifying pairs become edges,
@@ -34,26 +42,19 @@ case class PipelineReport(
   * which greedy pair-dropping only guarantees for pairwise-similar
   * cliques.
   *
-  * Stage counts for the report ride the three real passes as
-  * `Observation` (CollectMetrics) aggregates — they cost zero extra
-  * jobs — and the stage boundaries are persisted in a hand-over-hand
-  * chain so every stage of the funnel executes exactly once:
-  *
-  *   action 1  scored.count()    runs scrub+langid+quality ONCE into the
-  *                               cache and resolves the input/afterLang
-  *                               observations on the way;
-  *   action 2  exactKept.count() runs the exact-dedup join ONCE off that
-  *                               cache into its own cache (then scored
-  *                               is released);
-  *   action 3  out.count()       runs near-dedup + cap ONCE off the
-  *                               exactKept cache into the output cache,
-  *                               resolving the afterNearDedup observation
-  *                               on the way (then exactKept is released).
+  * Stage counts ride the real passes as `Observation` (CollectMetrics)
+  * aggregates where possible, and the stage boundaries are persisted in
+  * a hand-over-hand chain so every stage of the funnel executes exactly
+  * once: each ENABLED optional stage derives its keep-set off the
+  * previous stage's cache, joins, persists, counts (one action), and
+  * only then releases the predecessor. Disabled stages cost nothing —
+  * with all options off the funnel runs the same three actions as
+  * before (scored, exactKept, out).
   *
   * (The first cut of this pipeline issued five uncached count() actions,
   * which re-executed the whole upstream funnel per stage — the near-dup
   * join alone ran twice, and at 100 TB the multiplier applies to the
-  * dominant scrub/langid/quality cost. CorpusPipelineSpec now pins
+  * dominant scrub/langid/quality cost. CorpusPipelineSpec pins
   * exactly-once execution of the text stages with a row-level
   * accumulator; PerfLab carries the A/B against the naive-count form.)
   *
@@ -64,7 +65,10 @@ case class PipelineReport(
 class CorpusPipeline(
     val languages: Set[String] = Set.empty, // empty = keep all
     val minQuality: Double = 0.0,
+    val maxDup3Frac: Option[Double] = None, // None = repetition filter off
     val maxLmScore: Option[Double] = None, // None = LM filter off
+    val evalCorpus: Option[DataFrame] = None, // None = decontamination off
+    val contamNgram: Int = 8,
     val nearDupThreshold: Double = 0.5,
     val capPerLanguage: Option[Int] = None) extends Serializable {
 
@@ -93,31 +97,48 @@ class CorpusPipeline(
     val afterScrub = input // scrub is 1:1, no rows dropped
     val afterLang = obsLang.get("n").asInstanceOf[Long]
 
-    // LM stage joins the funnel's hand-over-hand persist chain: the
-    // dedup stages below reference lmKept TWICE (keeper derivation +
-    // semi-join), so when the filter is on, lmKept gets its own cache +
-    // count action — otherwise the LM aggregate and join would run
-    // twice, the recompute amplification this pipeline exists to avoid.
-    val (lmKept, afterLm) = maxLmScore match {
-      case Some(maxS) =>
-        val keep = TextAnalysis.unigramLogScore(scored, idCol, textCol)
-          .filter(col("lm_score") <= maxS)
+    // Hand-over-hand step for optional filter stages: persist the
+    // filtered successor, materialize it with ONE count action (its
+    // keep-set derivation reads only the predecessor's cache), then
+    // release the predecessor.
+    def step(prev: DataFrame, next: DataFrame): (DataFrame, Long) = {
+      val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = p.count()
+      prev.unpersist()
+      (p, n)
+    }
+
+    val (repKept, afterRep) = maxDup3Frac match {
+      case Some(maxR) =>
+        val keep = TextAnalysis.repetitionSignals(scored, idCol, textCol)
+          .filter(col("dup3_frac") <= maxR)
           .select(idCol)
-        val k = scored.join(keep, Seq(idCol), "left_semi")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val n = k.count() // action 1b: LM agg + join once, off the scored cache
-        (k, n)
+        step(scored, scored.join(keep, Seq(idCol), "left_semi"))
       case None => (scored, afterQuality)
     }
 
-    val keeperIds = Dedup.exactAssignKeepers(lmKept, idCol, textCol)
+    val (lmKept, afterLm) = maxLmScore match {
+      case Some(maxS) =>
+        val keep = TextAnalysis.unigramLogScore(repKept, idCol, textCol)
+          .filter(col("lm_score") <= maxS)
+          .select(idCol)
+        step(repKept, repKept.join(keep, Seq(idCol), "left_semi"))
+      case None => (repKept, afterRep)
+    }
+
+    val (cleanKept, afterDecontam) = evalCorpus match {
+      case Some(evalDocs) =>
+        val hit = Decontamination.contaminated(lmKept, evalDocs,
+          contamNgram, idCol, textCol).select(idCol)
+        step(lmKept, lmKept.join(hit, Seq(idCol), "left_anti"))
+      case None => (lmKept, afterLm)
+    }
+
+    val keeperIds = Dedup.exactAssignKeepers(cleanKept, idCol, textCol)
       .filter(!col("is_dup"))
       .select(idCol)
-    val exactKept = lmKept.join(keeperIds, Seq(idCol), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterExact = exactKept.count() // action 2
-    scored.unpersist()
-    if (!(lmKept eq scored)) lmKept.unpersist()
+    val (exactKept, afterExact) =
+      step(cleanKept, cleanKept.join(keeperIds, Seq(idCol), "left_semi"))
 
     // cluster the near-dup graph at SET level (never expanded member
     // pairs — measured 7x funnel wall-time at sf0.1 otherwise); drop
@@ -135,11 +156,11 @@ class CorpusPipeline(
       case Some(k) => Sampling.stratifiedK(nearKept, col("__lang"), col(idCol), k)
       case None => nearKept
     }).persist(StorageLevel.MEMORY_AND_DISK)
-    val outCount = out.count() // action 3
+    val outCount = out.count() // final action
     val afterNear = obsNear.get("n").asInstanceOf[Long]
     exactKept.unpersist()
 
     (out, PipelineReport(input, afterScrub, afterLang, afterQuality,
-      afterLm, afterExact, afterNear, outCount))
+      afterRep, afterLm, afterDecontam, afterExact, afterNear, outCount))
   }
 }

@@ -48,8 +48,74 @@ object ContractQueries4 {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  // ---- Q87 parquet schema evolution / mergeSchema (S-16) -----------------
+  // The schema-drift reality of a 100 TB table: batch 1 lands without
+  // c_acctbal, batch 2 appends WITH it; a mergeSchema read must surface
+  // the union schema with nulls for the early rows. The read-back
+  // rollup (count vs count(acctbal) per segment) hash-matches an oracle
+  // computing the expected post-merge state from the source table.
+  def q87MergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_merge_${math.abs(dir.hashCode)}/customer"
+    val c = t(s, dir, "customer")
+    c.filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(tmp)
+    c.filter(col("c_custkey") % 2 === 1)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("append").parquet(tmp)
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), count(col("c_acctbal")).as("n_bal"),
+        round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---- Q88 URL parsing (F-11) ---------------------------------------------
+  // parse_url over URLs synthesized from table columns; the oracle
+  // derives every part independently from the same columns, pinning
+  // Spark's extraction semantics (HOST/PATH/QUERY + keyed QUERY) rather
+  // than echoing them.
+  def q88Url(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://shop.example.com/seg/"),
+      lower(col("c_mktsegment")), lit("/item?k="), col("c_custkey"),
+      lit("&v=1"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), url.as("url"))
+      .select(col("c_custkey"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("k")).cast("long").as("k"))
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
+  // ---- Q89 inline generator over array-of-struct (X-4c) ------------------
+  // arrays_zip builds the struct array (token, position) with zero
+  // shuffle; inline_outer flattens it and must KEEP parents of empty
+  // arrays as a null row (every 7th doc's array is emptied to force the
+  // case). The oracle reproduces outer-unnest with a union.
+  def q89Inline(s: SparkSession, dir: String): DataFrame = {
+    val toks = slice(filter(split(col("text"), " "), t => t =!= ""), 1, 3)
+    val emptied = when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+      .otherwise(toks)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        arrays_zip(emptied,
+          when(col("doc_id") % 7 === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size(emptied)))).as("zipped"))
+      .select(col("doc_id"), inline_outer(col("zipped")))
+      .toDF("doc_id", "tok", "pos")
+      .select(col("doc_id"), col("tok"), col("pos").cast("long").as("pos"))
+      .orderBy("doc_id", "pos")
+      .limit(200)
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
-    "q86_moments" -> (q86Moments _))
+    "q86_moments" -> (q86Moments _),
+    "q87_mergeschema" -> (q87MergeSchema _),
+    "q88_url" -> (q88Url _),
+    "q89_inline" -> (q89Inline _))
 }

@@ -34,5 +34,33 @@ object OracleSql4 {
         |  cast(bit_xor(o_custkey) as bigint) bx,
         |  count(*) n
         |from orders o join mu using(o_orderstatus)
-        |group by o.o_orderstatus order by o.o_orderstatus""".stripMargin)
+        |group by o.o_orderstatus order by o.o_orderstatus""".stripMargin,
+
+    "q87_mergeschema" ->
+      """select c_mktsegment,
+        |  count(*) n,
+        |  cast(count(case when c_custkey % 2 = 1 then c_acctbal end) as bigint) n_bal,
+        |  round(sum(case when c_custkey % 2 = 1 then c_acctbal end), 2) bal
+        |from customer group by c_mktsegment order by c_mktsegment""".stripMargin,
+
+    "q88_url" ->
+      """select c_custkey,
+        |  'shop.example.com' host,
+        |  '/seg/' || lower(c_mktsegment) || '/item' path,
+        |  'k=' || c_custkey || '&v=1' query,
+        |  c_custkey k
+        |from customer order by c_custkey limit 100""".stripMargin,
+
+    "q89_inline" ->
+      """with tok as (select doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '')[1:3] tl
+        |  from documents),
+        |flat as (
+        |  select doc_id, tl[i] tok, cast(i as bigint) pos
+        |  from tok, unnest(range(1, len(tl) + 1)) u(i)
+        |  where doc_id % 7 <> 0
+        |  union all
+        |  select doc_id, null, null from tok where doc_id % 7 = 0)
+        |select doc_id, tok, pos from flat
+        |order by doc_id, pos nulls first limit 200""".stripMargin)
 }

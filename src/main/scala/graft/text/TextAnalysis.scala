@@ -177,6 +177,26 @@ object TextAnalysis {
         round(col("top2") / col("n2"), 4).as("top2_frac"))
   }
 
+  /** Per-document Shannon entropy of the token distribution (E-52), in
+    * nats — the vocabulary-diversity quality signal complementing
+    * [[repetitionSignals]]: template/boilerplate text scores low, rich
+    * prose high. Computed as ln(n) − (Σ c·ln c)/n from one token
+    * explode and two doc-keyed aggregates — the log identity keeps the
+    * math a pure aggregate (no per-token division), so partial
+    * aggregation stays map-side.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        explode(filter(split(col(textCol), " "), t => t =!= "")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tok"),
+        sum(col("c") * log(col("c"))).as("sclogc"))
+      .select(col(idCol), col("n_tok"),
+        round(log(col("n_tok")) - col("sclogc") / col("n_tok"), 4)
+          .as("entropy"))
+
   /** Bigram language-model scoring — the order-2 upgrade of
     * [[unigramLogScore]]: per document, the mean negative conditional
     * log-likelihood −ln c(w1,w2)/c(w1·) of its adjacent token pairs

@@ -17,8 +17,10 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(r.input == docs.count())
     assert(r.afterScrub == r.input)
     assert(r.afterLang <= r.afterScrub && r.afterQuality <= r.afterLang)
-    assert(r.afterLm == r.afterQuality, "LM stage off => counts equal")
-    assert(r.afterExactDedup <= r.afterLm && r.afterNearDedup <= r.afterExactDedup)
+    assert(r.afterRepetition == r.afterQuality, "repetition stage off => counts equal")
+    assert(r.afterLm == r.afterRepetition, "LM stage off => counts equal")
+    assert(r.afterDecontam == r.afterLm, "decontam stage off => counts equal")
+    assert(r.afterExactDedup <= r.afterDecontam && r.afterNearDedup <= r.afterExactDedup)
     assert(r.output == r.afterNearDedup)
     // the sf0.01 fixture plants 25 near-dup pairs (FIXTURES.md quirk 3);
     // at τ=0.5 with no other filters, at least the paired larger ids die
@@ -87,6 +89,39 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     val (out2, r2) = new CorpusPipeline().run(crafted)
     assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet.contains(99L))
     assert(r2.afterLm == r2.afterQuality)
+  }
+
+  test("repetition filter drops template text and only it") {
+    import spark.implicits._
+    // doc 99 is one 3-gram stamped out repeatedly (dup3_frac = 1); the
+    // clean docs have all-distinct trigrams (dup3_frac = 0)
+    val clean = (0 until 5).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val template = Seq((99L, "buy now click here buy now click here buy now click here"))
+    val crafted = spark.createDataFrame(clean ++ template).toDF("doc_id", "text")
+    val (out, r) = new CorpusPipeline(maxDup3Frac = Some(0.5)).run(crafted)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(99L), "repetitive doc must be filtered")
+    assert(r.afterRepetition == 5 && r.afterQuality == 6)
+    val (out2, _) = new CorpusPipeline().run(crafted)
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet.contains(99L))
+  }
+
+  test("decontamination drops docs overlapping the eval corpus and only them") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated words about rivers and ducks here"),
+      (3L, "quick brown fox jumps over rocks near the river"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "watch the quick brown fox jumps far")).toDF("doc_id", "text")
+    // 4-grams: doc1 shares "the quick brown fox"/"quick brown fox jumps";
+    // doc3 shares "quick brown fox jumps"; doc2 is clean
+    val (out, r) = new CorpusPipeline(evalCorpus = Some(eval),
+      contamNgram = 4).run(train)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"expected only the clean doc, got $kept")
+    assert(r.afterDecontam == 1 && r.afterLm == 3)
   }
 
   test("text stages execute exactly once (no recompute amplification)") {

@@ -108,6 +108,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(twice == got)
   }
 
+  test("tokenEntropy: closed-form values (uniform=ln k, constant=0)") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a a b b"),        // ln4 − (2ln2+2ln2)/4 = ln2
+      (2L, "a b c d"),        // uniform over 4 → ln4
+      (3L, "x x x")))         // single type → 0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (4L, math.rint(math.log(2) * 1e4) / 1e4))
+    assert(got(2L) == (4L, math.rint(math.log(4) * 1e4) / 1e4))
+    assert(got(3L) == (3L, 0.0))
+  }
+
   test("bm25: more query-term hits score higher; termless docs absent") {
     val df = spark.createDataFrame(Seq(
       (0L, "spark spark table pad pad"),
