@@ -97,7 +97,40 @@ object ExtensionQueries2 {
       .orderBy("doc_id")
       .limit(100)
 
+  // ---- E-53 k-anonymity suppression -------------------------------------------
+  // Quasi-identifiers (nation, segment) at k = 15: the 29 combinations
+  // with >= 15 customers survive; every row in a rarer combination is
+  // suppressed. Output is the surviving-group profile.
+  def extKanon(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymize(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 15)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  // ---- E-54 bounded-round k-core refinement ------------------------------------
+  // 3 peels at k = 24 over the bidirected supplier–part graph (this
+  // corpus converges after round 1 — rounds 2-3 remove nothing, so the
+  // bounded refinement IS the true 24-core here); oracle = the same
+  // rounds unrolled as CTEs.
+  def extKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
+        concat(lit("P"), col("l_partkey")).as("pn"))
+      .distinct()
+    val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
+      .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
+    KCore.refine(edges, k = 24, rounds = 3)
+      .select(substring(col("id"), 1, 1).as("side"),
+        expr("substring(id, 2)").cast("long").as("sfx"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n"), sum("sfx").as("sum_sfx"))
+      .orderBy("side")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_kanon" -> (extKanon _),
+    "ext_kcore" -> (extKcore _),
     "ext_entropy" -> (extEntropy _),
     "ext_decontaminate" -> (extDecontaminate _),
     "ext_repetition" -> (extRepetition _),
@@ -106,6 +139,32 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_kanon" ->
+      """select c_nationkey, c_mktsegment, count(*) n,
+        |  round(sum(c_acctbal), 2) bal
+        |from customer
+        |group by c_nationkey, c_mktsegment having count(*) >= 15
+        |order by c_nationkey, c_mktsegment""".stripMargin,
+
+    "ext_kcore" ->
+      """with pairs as (select distinct
+        |    'S' || l_suppkey sn, 'P' || l_partkey pn from lineitem),
+        |edges as (select sn src, pn dst from pairs
+        |  union all select pn, sn from pairs),
+        |n0 as (select distinct src id from edges),
+        |d1 as (select src, count(*) c from edges
+        |  join n0 a on src = a.id join n0 b on dst = b.id group by src),
+        |n1 as (select src id from d1 where c >= 24),
+        |d2 as (select src, count(*) c from edges
+        |  join n1 a on src = a.id join n1 b on dst = b.id group by src),
+        |n2 as (select src id from d2 where c >= 24),
+        |d3 as (select src, count(*) c from edges
+        |  join n2 a on src = a.id join n2 b on dst = b.id group by src),
+        |n3 as (select src id from d3 where c >= 24)
+        |select substring(id, 1, 1) side, count(*) n,
+        |  cast(sum(cast(substring(id, 2) as bigint)) as bigint) sum_sfx
+        |from n3 group by side order by side""".stripMargin,
+
     "ext_entropy" ->
       """with c as (select doc_id, tok, count(*) c
         |  from (select doc_id, unnest(list_filter(string_split(text, ' '),

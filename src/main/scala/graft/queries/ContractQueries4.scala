@@ -111,11 +111,75 @@ object ContractQueries4 {
       .limit(200)
   }
 
+  // ---- Q90 running distinct count over a window (W-10) -------------------
+  // Spark has no DISTINCT in window functions; the engine's rewrite is
+  // the first-occurrence-flag identity: mark the first (date, key) row
+  // of each (customer, priority), then a running sum of flags equals
+  // the running distinct-priority count. The oracle runs DuckDB's
+  // native count(distinct) over the identical total order, pinning the
+  // rewrite, not just the numbers.
+  def q90RunDistinct(s: SparkSession, dir: String): DataFrame = {
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey", "o_orderpriority")
+      .orderBy("o_orderdate", "o_orderkey")
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 200)
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum("first_seen").over(wRun).as("rd"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(300)
+  }
+
+  // ---- Q91 as-of join with tolerance (J-7b) --------------------------------
+  // Backward as-of (nearest earlier order per event) that only matches
+  // within an 8300-day window (the fixture's events run decades after
+  // its orders; 8300 days splits the matched-gap distribution near its
+  // median): the nearest match is the unique candidate,
+  // so tolerance is a post-filter on its gap — same linear merge as
+  // q20_merge, no re-ranking.
+  def q91AsofTol(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    graft.ops.AsOf.backward(e, "user_id", "ts", o, "o_custkey",
+        "o_orderdate", "o_orderkey", Seq("o_orderkey", "o_orderdate"))
+      .withColumn("gap",
+        datediff(col("ts").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long"))
+      .filter(col("gap") <= 8300)
+      .select("event_id", "user_id", "o_orderkey", "gap")
+      .orderBy("event_id")
+      .limit(50)
+  }
+
+  // ---- Q92 ordered-set aggregates: percentile_disc/cont (A-8c) -----------
+  // WITHIN GROUP syntax; percentile_disc picks an actual data element
+  // (lowest value with cume_dist >= p — bit-identical across engines,
+  // no rounding needed), percentile_cont interpolates.
+  def q92Pdisc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_disc(0.5) within group (order by o_totalprice)")
+          .as("pd"),
+        round(expr("percentile_cont(0.25) within group (order by o_totalprice)"),
+          4).as("pc"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
     "q86_moments" -> (q86Moments _),
     "q87_mergeschema" -> (q87MergeSchema _),
     "q88_url" -> (q88Url _),
-    "q89_inline" -> (q89Inline _))
+    "q89_inline" -> (q89Inline _),
+    "q90_rundistinct" -> (q90RunDistinct _),
+    "q91_asof_tol" -> (q91AsofTol _),
+    "q92_pdisc" -> (q92Pdisc _))
 }

@@ -62,5 +62,29 @@ object OracleSql4 {
         |  union all
         |  select doc_id, null, null from tok where doc_id % 7 = 0)
         |select doc_id, tok, pos from flat
-        |order by doc_id, pos nulls first limit 200""".stripMargin)
+        |order by doc_id, pos nulls first limit 200""".stripMargin,
+
+    "q90_rundistinct" ->
+      """select o_custkey, o_orderkey,
+        |  count(distinct o_orderpriority) over (partition by o_custkey
+        |    order by o_orderdate, o_orderkey rows unbounded preceding) rd
+        |from orders where o_custkey <= 200
+        |order by o_custkey, o_orderkey limit 300""".stripMargin,
+
+    "q91_asof_tol" ->
+      """select event_id, user_id, o_orderkey, gap from (
+        |  select e.event_id, e.user_id, o.o_orderkey,
+        |    date_diff('day', cast(o.o_orderdate as date), cast(e.ts as date)) gap,
+        |    row_number() over (partition by e.event_id
+        |      order by o.o_orderdate desc, o.o_orderkey desc) rn
+        |  from events e join orders o
+        |    on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
+        |where rn = 1 and gap <= 8300 order by event_id limit 50""".stripMargin,
+
+    "q92_pdisc" ->
+      """select o_orderstatus,
+        |  percentile_disc(0.5) within group (order by o_totalprice) pd,
+        |  round(percentile_cont(0.25) within group (order by o_totalprice), 4) pc,
+        |  count(*) n
+        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin)
 }
