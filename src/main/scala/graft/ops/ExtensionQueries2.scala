@@ -98,21 +98,27 @@ object ExtensionQueries2 {
       .limit(100)
 
   // ---- E-53 k-anonymity suppression -------------------------------------------
-  // Quasi-identifiers (nation, segment) at k = 15: the 29 combinations
-  // with >= 15 customers survive; every row in a rarer combination is
-  // suppressed. Output is the surviving-group profile.
-  def extKanon(s: SparkSession, dir: String): DataFrame =
-    Privacy.kAnonymize(t(s, dir, "customer"),
-        Seq("c_nationkey", "c_mktsegment"), k = 15)
+  // Quasi-identifiers (nation, segment); k scales with the table
+  // (max(2, rows/100)) so suppression bites at every SF — at sf0.01
+  // that's k = 15 and 29 of 125 combinations survive. Output is the
+  // surviving-group profile.
+  def extKanon(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val k = math.max(2L, c.count() / 100)
+    Privacy.kAnonymize(c, Seq("c_nationkey", "c_mktsegment"), k)
       .groupBy("c_nationkey", "c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
       .orderBy("c_nationkey", "c_mktsegment")
+  }
 
   // ---- E-54 bounded-round k-core refinement ------------------------------------
-  // 3 peels at k = 24 over the bidirected supplier–part graph (this
-  // corpus converges after round 1 — rounds 2-3 remove nothing, so the
-  // bounded refinement IS the true 24-core here); oracle = the same
-  // rounds unrolled as CTEs.
+  // 3 peels at k = 24 over the bidirected supplier–part graph; output
+  // is the survivor trajectory (one row per round — always 4 rows, even
+  // when the core empties, as at sf0.001 where round 1 keeps only the
+  // 10 suppliers and round 2 none). At sf0.01 the trajectory converges
+  // after round 1 (2100 → 1515 → 1515 → 1515): the bounded refinement
+  // IS the true 24-core there. Oracle = the same rounds unrolled as
+  // CTEs.
   def extKcore(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "lineitem")
       .select(concat(lit("S"), col("l_suppkey")).as("sn"),
@@ -120,15 +126,39 @@ object ExtensionQueries2 {
       .distinct()
     val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
       .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
-    KCore.refine(edges, k = 24, rounds = 3)
-      .select(substring(col("id"), 1, 1).as("side"),
-        expr("substring(id, 2)").cast("long").as("sfx"))
-      .groupBy("side")
-      .agg(count(lit(1)).as("n"), sum("sfx").as("sum_sfx"))
-      .orderBy("side")
+    KCore.peelRounds(edges, k = 24, rounds = 3).zipWithIndex
+      .map { case (nodes, r) =>
+        nodes.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("id").startsWith("S"), 1L).otherwise(0L)).as("n_s"),
+          sum(expr("substring(id, 2)").cast("long")).as("sum_sfx"))
+          .select(lit(r.toLong).as("round"), col("n"), col("n_s"),
+            col("sum_sfx"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("round")
+  }
+
+  // ---- E-55 content-defined chunk dedup ----------------------------------------
+  // CDC chunks (sha-content boundaries, shift-resistant — see
+  // Chunking.contentDefinedChunks) hashed and counted corpus-wide;
+  // per doc: how many of its chunks recur anywhere. The join runs on
+  // the chunk sha, never the text.
+  def extCdcChunk(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.text.Chunking
+      .contentDefinedChunks(t(s, dir, "documents"))
+      .select(col("doc_id"), sha2(col("chunk"), 256).as("h"))
+    val cnt = ch.groupBy("h").agg(count(lit(1)).as("n"))
+    ch.join(cnt, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy("doc_id")
+      .limit(100)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_cdc_chunk" -> (extCdcChunk _),
     "ext_kanon" -> (extKanon _),
     "ext_kcore" -> (extKcore _),
     "ext_entropy" -> (extEntropy _),
@@ -139,11 +169,33 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_cdc_chunk" ->
+      """with tok as (select doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') tl
+        |  from documents),
+        |t2 as (select doc_id, i pos, tl[i] tok
+        |  from tok, unnest(range(1, len(tl) + 1)) u(i)),
+        |c as (select doc_id, pos, tok,
+        |    sum(case when substring(sha256(tok), 1, 1) in ('0', '1')
+        |        then 1 else 0 end)
+        |      over (partition by doc_id order by pos
+        |            rows unbounded preceding) cs
+        |  from t2),
+        |ch as (select doc_id, cs,
+        |    sha256(string_agg(tok, ' ' order by pos)) h
+        |  from c group by doc_id, cs),
+        |cnt as (select h, count(*) n from ch group by h)
+        |select doc_id, count(*) n_chunks,
+        |  cast(sum(case when n > 1 then 1 else 0 end) as bigint) n_shared
+        |from ch join cnt using(h)
+        |group by doc_id order by doc_id limit 100""".stripMargin,
+
     "ext_kanon" ->
       """select c_nationkey, c_mktsegment, count(*) n,
         |  round(sum(c_acctbal), 2) bal
         |from customer
-        |group by c_nationkey, c_mktsegment having count(*) >= 15
+        |group by c_nationkey, c_mktsegment
+        |having count(*) >= greatest(2, floor((select count(*) from customer) / 100))
         |order by c_nationkey, c_mktsegment""".stripMargin,
 
     "ext_kcore" ->
@@ -160,10 +212,23 @@ object ExtensionQueries2 {
         |n2 as (select src id from d2 where c >= 24),
         |d3 as (select src, count(*) c from edges
         |  join n2 a on src = a.id join n2 b on dst = b.id group by src),
-        |n3 as (select src id from d3 where c >= 24)
-        |select substring(id, 1, 1) side, count(*) n,
-        |  cast(sum(cast(substring(id, 2) as bigint)) as bigint) sum_sfx
-        |from n3 group by side order by side""".stripMargin,
+        |n3 as (select src id from d3 where c >= 24),
+        |summ as (
+        |  select 0 r, count(*) n,
+        |    sum(case when id like 'S%' then 1 else 0 end) n_s,
+        |    sum(cast(substring(id, 2) as bigint)) sfx from n0
+        |  union all select 1, count(*),
+        |    sum(case when id like 'S%' then 1 else 0 end),
+        |    sum(cast(substring(id, 2) as bigint)) from n1
+        |  union all select 2, count(*),
+        |    sum(case when id like 'S%' then 1 else 0 end),
+        |    sum(cast(substring(id, 2) as bigint)) from n2
+        |  union all select 3, count(*),
+        |    sum(case when id like 'S%' then 1 else 0 end),
+        |    sum(cast(substring(id, 2) as bigint)) from n3)
+        |select cast(r as bigint) round, n, cast(n_s as bigint) n_s,
+        |  cast(sfx as bigint) sum_sfx
+        |from summ order by round""".stripMargin,
 
     "ext_entropy" ->
       """with c as (select doc_id, tok, count(*) c

@@ -19,14 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** @param edges bidirected (src, dst) edge list
-    * @return (id) nodes surviving `rounds` peels at threshold k
+  /** Survivor sets after 0..rounds peels: element r of the result is
+    * the node set (id) still alive after r rounds (element 0 = all
+    * nodes). The full trajectory shows convergence — equal consecutive
+    * counts mean the fixpoint (the true k-core) was reached.
     */
-  def refine(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+  def peelRounds(edges: DataFrame, k: Long, rounds: Int): Seq[DataFrame] = {
     var nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
+    var out = Vector(nodes)
     var r = 0
     while (r < rounds) {
       nodes = edges
@@ -36,8 +39,15 @@ object KCore {
         .filter(col("deg") >= k)
         .select(col("src").as("id"))
         .localCheckpoint()
+      out :+= nodes
       r += 1
     }
-    nodes
+    out
   }
+
+  /** @param edges bidirected (src, dst) edge list
+    * @return (id) nodes surviving `rounds` peels at threshold k
+    */
+  def refine(edges: DataFrame, k: Long, rounds: Int): DataFrame =
+    peelRounds(edges, k, rounds).last
 }

@@ -172,6 +172,47 @@ object ContractQueries4 {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  // ---- Q93 date formatting + epoch seconds (F-2c) --------------------------
+  // The portable pattern subset (zero-padded numeric fields only — no
+  // locale-dependent names): Spark's SimpleDateFormat-style patterns vs
+  // DuckDB strftime, plus unix_timestamp under the UTC session.
+  def q93DateFmt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM").as("ym"),
+        date_format(col("ts"), "HH").as("hh"),
+        date_format(col("ts"), "DDD").as("doy"),
+        unix_timestamp(col("ts")).as("es"))
+      .orderBy("event_id")
+      .limit(100)
+
+  // ---- Q94 map construction + map_zip_with (F-7c) --------------------------
+  // map_from_arrays / map_zip_with / map_entries / map_contains_key over
+  // maps constructed from the JSON props value; the oracle derives every
+  // output from the raw value arithmetically (q76 pattern).
+  def q94Maps2(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+    t(s, dir, "events")
+      .select(col("event_id"), element_at(m, "k").as("kv"))
+      .select(col("event_id"),
+        map_from_arrays(array(lit("a"), lit("b")),
+          array(col("kv"), col("kv") * 2)).as("m1"),
+        map_from_arrays(array(lit("a"), lit("b")),
+          array(lit(10), lit(20))).as("m2"))
+      .select(col("event_id"),
+        element_at(map_zip_with(col("m1"), col("m2"),
+          (_, v1, v2) => v1 + v2), "a").cast("long").as("za"),
+        element_at(map_zip_with(col("m1"), col("m2"),
+          (_, v1, v2) => v1 + v2), "b").cast("long").as("zb"),
+        array_join(transform(map_entries(col("m1")),
+          e => concat(e.getField("key"), lit(":"), e.getField("value"))),
+          ",").as("ents"),
+        map_contains_key(col("m1"), "a").as("has_a"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -181,5 +222,7 @@ object ContractQueries4 {
     "q89_inline" -> (q89Inline _),
     "q90_rundistinct" -> (q90RunDistinct _),
     "q91_asof_tol" -> (q91AsofTol _),
-    "q92_pdisc" -> (q92Pdisc _))
+    "q92_pdisc" -> (q92Pdisc _),
+    "q93_datefmt" -> (q93DateFmt _),
+    "q94_maps2" -> (q94Maps2 _))
 }

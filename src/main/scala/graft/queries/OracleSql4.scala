@@ -7,6 +7,8 @@ package graft.queries
   *    population forms, so the oracle computes the population moments
   *    explicitly from a two-pass mean join. DuckDB sum() on integers
   *    widens to HUGEINT — cast back to BIGINT.
+  *  - q93: Spark unix_timestamp TRUNCATES fractional seconds; DuckDB
+  *    cast(double as bigint) rounds — floor(epoch(ts)) aligns them.
   */
 object OracleSql4 {
 
@@ -86,5 +88,19 @@ object OracleSql4 {
         |  percentile_disc(0.5) within group (order by o_totalprice) pd,
         |  round(percentile_cont(0.25) within group (order by o_totalprice), 4) pc,
         |  count(*) n
-        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin)
+        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin,
+
+    "q93_datefmt" ->
+      """select event_id, strftime(ts, '%Y-%m') ym, strftime(ts, '%H') hh,
+        |  strftime(ts, '%j') doy, cast(floor(epoch(ts)) as bigint) es
+        |from events order by event_id limit 100""".stripMargin,
+
+    "q94_maps2" ->
+      """select event_id,
+        |  cast(json_extract(props, '$.k') as bigint) + 10 za,
+        |  2 * cast(json_extract(props, '$.k') as bigint) + 20 zb,
+        |  'a:' || json_extract(props, '$.k') || ',b:' ||
+        |    (2 * cast(json_extract(props, '$.k') as bigint)) ents,
+        |  true has_a
+        |from events order by event_id limit 100""".stripMargin)
 }

@@ -41,4 +41,39 @@ object Chunking {
     docs.select(col(idCol),
         explode(chunkStructs(col(textCol), chunkSize, overlap)).as("c"))
       .select(col(idCol), col("c.chunk_id"), col("c.chunk_tokens"), col("c.chunk"))
+
+  /** Content-defined chunking (E-55): chunk boundaries are set by token
+    * CONTENT — a token whose sha256 starts with a chosen hex digit set
+    * opens a new chunk — not by position. Unlike the fixed grid above,
+    * an insertion near the start of a document shifts every grid chunk
+    * but leaves all content-defined chunks outside the edited span
+    * intact (the rsync/LBFS trick, applied to sub-document text dedup);
+    * ChunkingSpec pins that stability property.
+    *
+    * `boundaryHex.size / 16` is the expected boundary rate (mean chunk
+    * length 16/|hex| tokens). sha256 keeps the boundary decision
+    * engine-portable — the DuckDB oracle replays it exactly.
+    *
+    * One row per chunk: (idCol, chunk_seq, chunk). Shuffles once, keyed
+    * by doc id, for the per-doc boundary prefix-sum window; the
+    * reassembled chunk rides the same partitioning.
+    */
+  def contentDefinedChunks(docs: DataFrame, boundaryHex: String = "01",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(idCol), posexplode(
+        filter(split(col(textCol), " "), t => t =!= "")).as(Seq("pos", "tok")))
+      .withColumn("b",
+        when(substring(sha2(col("tok"), 256), 1, 1)
+          .isin(boundaryHex.map(_.toString): _*), 1L).otherwise(0L))
+      .withColumn("chunk_seq", sum("b").over(w))
+      .groupBy(idCol, "chunk_seq")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        e => e.getField("tok")), " ").as("chunk"))
+  }
 }

@@ -46,4 +46,31 @@ class ChunkingSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("content-defined chunks survive a prefix insertion; grid chunks do not") {
+    import spark.implicits._
+    // deterministic 80-token doc; B = A with two tokens prepended
+    val toksA = (1 to 80).map(i => s"w${i * 7 % 101}")
+    val a = toksA.mkString(" ")
+    val b = ("zz qq " + a)
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+
+    def chunksOf(got: org.apache.spark.sql.DataFrame, id: Long): Set[String] =
+      got.filter(col("doc_id") === id).select("chunk")
+        .collect().map(_.getString(0)).toSet
+    val cdc = Chunking.contentDefinedChunks(df)
+    val (ca, cb) = (chunksOf(cdc, 1L), chunksOf(cdc, 2L))
+    // every CDC chunk of A except (possibly) the first survives in B:
+    // the insertion only perturbs text before A's first boundary
+    assert((ca intersect cb).size >= ca.size - 1,
+      s"CDC chunks not shift-stable: ${ca.size} vs shared ${(ca intersect cb).size}")
+    assert(ca.size >= 4, s"boundary rate too low for the test to bite: ${ca.size}")
+
+    // the fixed grid shifts every chunk: near-zero survival
+    val grid = Chunking.chunkDocs(df, chunkSize = 8, overlap = 0)
+    val (ga, gb) = (chunksOf(grid.withColumnRenamed("chunk", "chunk"), 1L),
+      chunksOf(grid, 2L))
+    assert((ga intersect gb).size <= 1,
+      s"grid unexpectedly shift-stable: shared ${(ga intersect gb).size}")
+  }
 }
