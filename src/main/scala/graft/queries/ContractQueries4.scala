@@ -213,6 +213,37 @@ object ContractQueries4 {
       .limit(100)
   }
 
+  // ---- Q95 GROUP BY ALL / ORDER BY ALL (Q-ALL) ------------------------------
+  // The SQL-surface sugar both engines ship: grouping keys inferred
+  // from the non-aggregate select items, ordering over all output
+  // columns left to right.
+  def q95GroupByAll(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+    s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                    round(sum(o_totalprice), 2) AS total
+             FROM graft_orders_v GROUP BY ALL ORDER BY ALL""")
+  }
+
+  // ---- Q96 IGNORE NULLS window navigation (W-11) ----------------------------
+  // Carry-forward (last_value IGNORE NULLS) and previous-non-null (lag
+  // IGNORE NULLS) over a sparsified measure — only 'click' events carry
+  // a value, other rows must see through the gaps.
+  def q96IgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wRows = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("v",
+        when(col("event_type") === "click", round(col("value"), 2)))
+      .select(col("event_id"), col("user_id"),
+        last(col("v"), ignoreNulls = true).over(wRows).as("carried"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -224,5 +255,7 @@ object ContractQueries4 {
     "q91_asof_tol" -> (q91AsofTol _),
     "q92_pdisc" -> (q92Pdisc _),
     "q93_datefmt" -> (q93DateFmt _),
-    "q94_maps2" -> (q94Maps2 _))
+    "q94_maps2" -> (q94Maps2 _),
+    "q95_groupby_all" -> (q95GroupByAll _),
+    "q96_ignorenulls" -> (q96IgnoreNulls _))
 }

@@ -102,5 +102,21 @@ object OracleSql4 {
         |  'a:' || json_extract(props, '$.k') || ',b:' ||
         |    (2 * cast(json_extract(props, '$.k') as bigint)) ents,
         |  true has_a
-        |from events order by event_id limit 100""".stripMargin)
+        |from events order by event_id limit 100""".stripMargin,
+
+    "q95_groupby_all" ->
+      """select o_orderstatus, o_orderpriority, count(*) n,
+        |  round(sum(o_totalprice), 2) total
+        |from orders group by all order by all""".stripMargin,
+
+    "q96_ignorenulls" ->
+      """with v as (select event_id, user_id, ts,
+        |    case when event_type = 'click' then round(value, 2) end v
+        |  from events)
+        |select event_id, user_id,
+        |  last_value(v ignore nulls) over (partition by user_id
+        |    order by ts, event_id rows unbounded preceding) carried,
+        |  lag(v ignore nulls) over (partition by user_id
+        |    order by ts, event_id) prev_v
+        |from v order by event_id limit 200""".stripMargin)
 }

@@ -107,6 +107,20 @@ object Streams {
     events.join(broadcast(customers),
       events("user_id") === customers("c_custkey"), "inner")
 
+  // ---- ST-13 streaming corpus scoring --------------------------------------
+  /** The CorpusPipeline's per-document text stages as a streaming
+    * transform: scrub, language ID and quality scoring are stateless
+    * codegen'd projections, so they run identically over a stream
+    * (append mode, no watermark, no state) — score-as-you-ingest, with
+    * the filter decision available the moment a document lands.
+    * StreamingSpec replays this against the identical batch projection.
+    */
+  def scoreDocs(docs: DataFrame): DataFrame =
+    graft.text.TextAnalysis.qualityFeatures(
+      docs.withColumn("text", graft.text.TextAnalysis.scrub(col("text")))
+        .withColumn("lang_id", graft.text.TextAnalysis.langId(col("text"))),
+      "text")
+
   // ---- ST-8 stream-stream interval join ----------------------------------
   /** clicks ⋈ views: same user, view at or before the click and within
     * `windowBack` of it. Both sides carry watermarks and the join has an

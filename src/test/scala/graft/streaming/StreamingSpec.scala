@@ -192,6 +192,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(1L, 1L, 2L, 3L, 4L, 5L), s"got $got")
   }
 
+  test("ST-13 streaming corpus scoring replays equal to the batch text stages") {
+    // stage documents.parquet as a stream directory
+    val d = Files.createTempDirectory("docs_replay")
+    Files.copy(Paths.get(s"$sf0001/documents.parquet"), d.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = Tables.table(spark, sf0001, "documents")
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .parquet(d.toString)
+    val got = replay(Streams.scoreDocs(stream), "append")
+    val expected = Streams.scoreDocs(batchDocs)
+    assert(canon(got) == canon(expected))
+    assert(got.columns.contains("quality") && got.columns.contains("lang_id"))
+  }
+
   test("ST-6 stream-static join equals batch join") {
     val customers = Tables.table(spark, sf0001, "customer")
       .select("c_custkey", "c_mktsegment")
