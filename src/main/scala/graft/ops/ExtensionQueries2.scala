@@ -157,7 +157,25 @@ object ExtensionQueries2 {
       .limit(100)
   }
 
+  // ---- E-56 sparse TF-IDF cosine pairs -----------------------------------------
+  // Inverted-index all-pairs similarity: documents meet only through
+  // shared tokens. The op's raw-cosine threshold is a coarse prefilter
+  // (0.85); the DECISIVE filter runs on the rounded value (>= 0.9) in
+  // both engines, so last-ulp summation noise can never flip a
+  // boundary pair. dfCap is a no-op on this fixture (31-token
+  // vocabulary — nothing is stopword-like relative to N/2... so the
+  // cap is set above max df); its pruning behavior is spec-tested.
+  def extSparseCos(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.SparseCosine.similarPairs(docs,
+        dfCap = Long.MaxValue, minCos = 0.85)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .orderBy(desc("cos"), asc("id_a"), asc("id_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_sparse_cos" -> (extSparseCos _),
     "ext_cdc_chunk" -> (extCdcChunk _),
     "ext_kanon" -> (extKanon _),
     "ext_kcore" -> (extKcore _),
@@ -169,6 +187,24 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_sparse_cos" ->
+      """with tf as (select doc_id id, tok, count(*) tf from (
+        |    select doc_id, unnest(list_filter(string_split(text, ' '),
+        |      w -> w <> '')) tok from documents)
+        |  group by 1, 2),
+        |n as (select count(distinct doc_id) n from documents),
+        |dft as (select tok, count(*) df from tf group by tok),
+        |w as (select id, tf.tok, tf * ln(n.n / df) w
+        |  from tf join dft using(tok), n),
+        |nrm as (select id, sqrt(sum(w * w)) nrm from w group by id),
+        |dots as (select a.id id_a, b.id id_b, sum(a.w * b.w) dot
+        |  from w a join w b on a.tok = b.tok and a.id < b.id
+        |  group by 1, 2),
+        |cos as (select id_a, id_b, round(dot / (x.nrm * y.nrm), 4) cos
+        |  from dots join nrm x on id_a = x.id join nrm y on id_b = y.id)
+        |select id_a, id_b, cos from cos where cos >= 0.9
+        |order by cos desc, id_a, id_b""".stripMargin,
+
     "ext_cdc_chunk" ->
       """with tok as (select doc_id,
         |    list_filter(string_split(text, ' '), w -> w <> '') tl

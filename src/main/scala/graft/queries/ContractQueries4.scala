@@ -244,6 +244,22 @@ object ContractQueries4 {
       .limit(200)
   }
 
+  // ---- Q97 error-safe arithmetic: try_add / try_multiply (P-6b) -------------
+  // Overflow → NULL instead of error (q69's try_divide/try_cast
+  // completed with the arithmetic family). Near-Long.MaxValue anchors
+  // make overflow depend on the data: ta overflows iff o_custkey > 100,
+  // tm for any o_custkey >= 2 — the oracle derives both cases lazily
+  // (SQL CASE) so DuckDB never evaluates the overflowing branch.
+  def q97Try2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("try_add(cast('9223372036854775707' as bigint), o_custkey)")
+          .as("ta"),
+        expr("try_multiply(o_custkey, cast('9223372036854775707' as bigint))")
+          .as("tm"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -257,5 +273,6 @@ object ContractQueries4 {
     "q93_datefmt" -> (q93DateFmt _),
     "q94_maps2" -> (q94Maps2 _),
     "q95_groupby_all" -> (q95GroupByAll _),
-    "q96_ignorenulls" -> (q96IgnoreNulls _))
+    "q96_ignorenulls" -> (q96IgnoreNulls _),
+    "q97_try2" -> (q97Try2 _))
 }

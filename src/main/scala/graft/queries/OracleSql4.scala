@@ -118,5 +118,13 @@ object OracleSql4 {
         |    order by ts, event_id rows unbounded preceding) carried,
         |  lag(v ignore nulls) over (partition by user_id
         |    order by ts, event_id) prev_v
-        |from v order by event_id limit 200""".stripMargin)
+        |from v order by event_id limit 200""".stripMargin,
+
+    "q97_try2" ->
+      """select o_orderkey, o_custkey,
+        |  case when o_custkey > 100 then null
+        |       else 9223372036854775707 + o_custkey end ta,
+        |  case when o_custkey >= 2 then null
+        |       else 9223372036854775707 * o_custkey end tm
+        |from orders order by o_orderkey limit 100""".stripMargin)
 }

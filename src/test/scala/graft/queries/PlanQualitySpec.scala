@@ -97,6 +97,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"expected 2 broadcast joins:\n${s.take(2000)}")
   }
 
+  test("decontamination: the eval n-gram set broadcasts onto the training explode") {
+    val s = graft.ops.ExtensionQueries2.extDecontaminate(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"expected broadcast LEFT SEMI on the eval side:\n${s.take(2000)}")
+  }
+
+  test("mixture resampling: the quota table broadcasts") {
+    val s = graft.ops.ExtensionQueries2.extMixture(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected the per-domain quota table to broadcast:\n${s.take(2000)}")
+  }
+
   test("umbrella: no CartesianProduct/BroadcastNestedLoopJoin in any query plan " +
       "outside the documented probe/all-pairs patterns") {
     // Allowlisted queries deliberately contain a nested-loop stage, each
@@ -113,6 +127,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
                                 // ext_sim_pairs is blocked, no BNLJ)
       "q29",                  // tf × broadcast(1-row total-doc count)
       "ext_lm_score",         // tokens × broadcast(1-row total-count)
+      "ext_sparse_cos",       // tf × broadcast(1-row corpus count); the
+                              // pair join itself is an equi-join on token
       "ext_bm25",             // tf × broadcast(1-row corpus stats)
       "ext_ctfidf")           // tf × broadcast(1-row group count)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the

@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparseCosineSpec extends AnyFunSuite with SparkFixture {
+
+  test("identical docs cos 1, disjoint docs absent, closed-form weights") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = SparseCosine.similarPairs(docs, dfCap = Long.MaxValue,
+        minCos = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // only the identical pair shares any token
+    assert(got.keySet == Set((1L, 2L)))
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
+  }
+
+  test("dfCap prunes stopword-like tokens from index AND norms") {
+    import spark.implicits._
+    // "common" is in all three docs (df=3); A/B also share "rare"
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common rare"),
+      (3L, "common other"))
+      .toDF("doc_id", "text")
+    val uncapped = SparseCosine.similarPairs(docs, Long.MaxValue, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ln(3/3)=0 for "common", so pairs through it alone carry dot 0 —
+    // but the PAIRS still materialize in the join (quadratic work)
+    assert(uncapped.contains((1L, 2L)))
+    val capped = SparseCosine.similarPairs(docs, dfCap = 2, minCos = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // with "common" pruned, only (1,2) meet at all — and on the pruned
+    // 1-token vocabulary their cosine is exactly 1
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(math.abs(capped((1L, 2L)) - 1.0) < 1e-12)
+  }
+}
