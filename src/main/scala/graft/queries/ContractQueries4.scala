@@ -260,6 +260,45 @@ object ContractQueries4 {
       .orderBy("o_orderkey")
       .limit(100)
 
+  // ---- Q98 array set operations (F-4d) --------------------------------------
+  // array_intersect / array_union / array_except (all set-semantics:
+  // results deduplicate). Engines order set results differently —
+  // array_sort before joining pins element order.
+  def q98ArrSet(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val a = array_distinct(slice(toks, 1, 10))
+    val b = array(lit("the"), lit("a"), lit("spark"), lit("data"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(array_sort(array_intersect(a, b)), ",").as("ai"),
+        array_join(array_sort(array_union(a, b)), ",").as("au"),
+        array_join(array_sort(array_except(a, b)), ",").as("ae"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  // ---- Q99 calendar spine / gap-filled monthly rollup (F-2d) ---------------
+  // Reporting-grade time series: a month spine generated from the
+  // data's own bounds (1-row aggregate → sequence explode — never the
+  // driver), left-joined to the monthly rollup so empty months surface
+  // as zeros. Pins sequence(timestamp, timestamp, interval) semantics
+  // against generate_series.
+  def q99DateGrid(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val spine = o
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
+        date_trunc("month", max(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("m"))
+    val counts = o
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    spine.join(counts, Seq("m"), "left")
+      .select(col("m"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy("m")
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -274,5 +313,7 @@ object ContractQueries4 {
     "q94_maps2" -> (q94Maps2 _),
     "q95_groupby_all" -> (q95GroupByAll _),
     "q96_ignorenulls" -> (q96IgnoreNulls _),
-    "q97_try2" -> (q97Try2 _))
+    "q97_try2" -> (q97Try2 _),
+    "q98_arrset" -> (q98ArrSet _),
+    "q99_dategrid" -> (q99DateGrid _))
 }

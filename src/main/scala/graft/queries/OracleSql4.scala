@@ -126,5 +126,30 @@ object OracleSql4 {
         |       else 9223372036854775707 + o_custkey end ta,
         |  case when o_custkey >= 2 then null
         |       else 9223372036854775707 * o_custkey end tm
-        |from orders order by o_orderkey limit 100""".stripMargin)
+        |from orders order by o_orderkey limit 100""".stripMargin,
+
+    "q98_arrset" ->
+      """with l as (select doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '),
+        |      w -> w <> '')[1:10]) a
+        |  from documents)
+        |select doc_id,
+        |  coalesce(array_to_string(list_sort(
+        |    list_intersect(a, ['the','a','spark','data'])), ','), '') ai,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_concat(a, ['the','a','spark','data']))), ',') au,
+        |  coalesce(array_to_string(list_sort(list_filter(a,
+        |    x -> not list_contains(['the','a','spark','data'], x))), ','), '') ae
+        |from l order by doc_id limit 100""".stripMargin,
+
+    "q99_dategrid" ->
+      """with b as (select date_trunc('month', min(o_orderdate)) lo,
+        |    date_trunc('month', max(o_orderdate)) hi from orders),
+        |spine as (select unnest(generate_series(lo, hi,
+        |    interval 1 month)) m from b),
+        |c as (select date_trunc('month', o_orderdate) m, count(*) n,
+        |    round(sum(o_totalprice), 2) total
+        |  from orders group by 1)
+        |select spine.m, coalesce(n, 0) n, coalesce(total, 0) total
+        |from spine left join c using(m) order by spine.m""".stripMargin)
 }
