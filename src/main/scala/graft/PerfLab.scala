@@ -82,7 +82,18 @@ object PerfLab {
       "b3_broadcast" -> (b3Broadcast _),
       "b1_default" -> (() => graft.queries.ContractQueries.b1(spark, sfDir)),
       "b7_current" -> (() => graft.queries.ContractQueries.b7(spark, sfDir)),
-      "b7_from_json" -> (b7FromJson _))
+      "b7_from_json" -> (b7FromJson _),
+      // round-3 heavy text/similarity ops at full bench scale — these
+      // are the ones with quadratic failure modes if the shapes regress
+      // (inverted-index fanout, per-doc window, eval-broadcast semi)
+      "ext_sparse_cos" -> (() =>
+        graft.ops.ExtensionQueries2.extSparseCos(spark, sfDir)),
+      "ext_cdc_chunk" -> (() =>
+        graft.ops.ExtensionQueries2.extCdcChunk(spark, sfDir)),
+      "ext_decontaminate" -> (() =>
+        graft.ops.ExtensionQueries2.extDecontaminate(spark, sfDir)),
+      "ext_repetition" -> (() =>
+        graft.ops.ExtensionQueries2.extRepetition(spark, sfDir)))
 
     // scan-split experiment: same b1, smaller max partition bytes
     def timed(fn: () => DataFrame): Double = {

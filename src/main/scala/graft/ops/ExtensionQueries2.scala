@@ -158,16 +158,19 @@ object ExtensionQueries2 {
   }
 
   // ---- E-56 sparse TF-IDF cosine pairs -----------------------------------------
-  // Inverted-index all-pairs similarity: documents meet only through
-  // shared tokens. The op's raw-cosine threshold is a coarse prefilter
-  // (0.85); the DECISIVE filter runs on the rounded value (>= 0.9) in
-  // both engines, so last-ulp summation noise can never flip a
-  // boundary pair. dfCap is a no-op on this fixture (31-token
-  // vocabulary — nothing is stopword-like relative to N/2... so the
-  // cap is set above max df); its pruning behavior is spec-tested.
+  // TF-IDF all-pairs similarity. The production path here is the DENSE
+  // block-pair formulation: this fixture's 31-token vocabulary is the
+  // inverted index's worst case (every doc shares most tokens → the
+  // candidate set is all pairs AND the token join has 31 keys —
+  // parallelism collapses; PerfLab measured 125 s vs ~2 s at sf0.1).
+  // SparseCosine.similarPairs remains the Zipfian-vocabulary path,
+  // spec-equal on this corpus. The op's raw-cosine threshold is a
+  // coarse prefilter (0.85); the DECISIVE filter runs on the rounded
+  // value (>= 0.9) in both engines, so last-ulp summation noise can
+  // never flip a boundary pair.
   def extSparseCos(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    graft.text.SparseCosine.similarPairs(docs,
+    graft.text.SparseCosine.densePairs(docs,
         dfCap = Long.MaxValue, minCos = 0.85)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .filter(col("cos") >= 0.9)

@@ -299,6 +299,27 @@ object ContractQueries4 {
       .orderBy("m")
   }
 
+  // ---- Q100 SCD Type-2 dimension build (OP-SCD2) ----------------------------
+  // The warehouse-classic temporal dimension: a change log (events as
+  // per-user attribute updates) becomes validity intervals —
+  // valid_from = change time, valid_to = next change (NULL while
+  // current). One window per key; at scale this is a single shuffle on
+  // the dimension key, the same shape as CDC upsert (E-15) but keeping
+  // full history instead of folding to latest.
+  def q100Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from", "event_id")
+    t(s, dir, "events")
+      .filter(col("user_id") <= 100)
+      .select(col("user_id"), col("ts").as("valid_from"),
+        round(col("value"), 2).as("v"), col("event_id"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("event_id")
+      .orderBy("user_id", "valid_from")
+      .limit(300)
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -315,5 +336,6 @@ object ContractQueries4 {
     "q96_ignorenulls" -> (q96IgnoreNulls _),
     "q97_try2" -> (q97Try2 _),
     "q98_arrset" -> (q98ArrSet _),
-    "q99_dategrid" -> (q99DateGrid _))
+    "q99_dategrid" -> (q99DateGrid _),
+    "q100_scd2" -> (q100Scd2 _))
 }

@@ -151,5 +151,13 @@ object OracleSql4 {
         |    round(sum(o_totalprice), 2) total
         |  from orders group by 1)
         |select spine.m, coalesce(n, 0) n, coalesce(total, 0) total
-        |from spine left join c using(m) order by spine.m""".stripMargin)
+        |from spine left join c using(m) order by spine.m""".stripMargin,
+
+    "q100_scd2" ->
+      """select user_id, ts valid_from, round(value, 2) v,
+        |  lead(ts) over (partition by user_id order by ts, event_id) valid_to,
+        |  lead(ts) over (partition by user_id order by ts, event_id)
+        |    is null is_current
+        |from events where user_id <= 100
+        |order by user_id, valid_from limit 300""".stripMargin)
 }

@@ -56,4 +56,70 @@ object SparseCosine {
         (col("dot") / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** The DENSE-corpus formulation of [[similarPairs]] — same TF-IDF
+    * cosine semantics, different join geometry. The inverted index is
+    * right when the vocabulary is Zipfian and dfCap bounds fanout; when
+    * every document shares most of a SMALL vocabulary (this fixture:
+    * 31 tokens) the candidate set degenerates to all pairs AND the
+    * token join has only |vocab| distinct keys — parallelism collapses
+    * (measured 125 s at sf0.1 vs 2 s for this path). Here documents
+    * become dense weight vectors over the pruned vocabulary and meet
+    * through a BLOCK-PAIR equi-join (nBlocks² ∕ 2 keys — the
+    * parallelism knob, same geometry as `Similarity.blockTopPairs`),
+    * with the codegen'd `cosine_sim` doing ascending-index double
+    * accumulation — the exact oracle arithmetic.
+    *
+    * Requires a small post-cap vocabulary (the dense dimension); the
+    * one-row vocab count is the only driver-side value.
+    */
+  def densePairs(docs: DataFrame, dfCap: Long, minCos: Double,
+      nBlocks: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(filter(split(col(textCol), " "), t => t =!= "")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val n = docs.select(countDistinct(col(idCol)).as("n"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val vocab = dfT.select(col("tok"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("tok")) - 1).as("idx"))
+    val dim = vocab.count().toInt
+    val weights = tf.join(broadcast(dfT), "tok").crossJoin(broadcast(n))
+      .join(broadcast(vocab), "tok")
+      .select(col("id"), col("idx"),
+        (col("tf") * log(col("n") / col("df"))).as("w"))
+    val dense = weights
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+        .as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"),
+        pmod(xxhash64(col("id")), lit(nBlocks)).cast("int").as("blk"))
+    val replicas = dense
+      .select(col("id"), col("v"), col("blk"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("other"))
+      .select(col("id"), col("v"), col("blk"),
+        least(col("blk"), col("other")).as("lo"),
+        greatest(col("blk"), col("other")).as("hi"))
+    val a = replicas.filter(col("blk") === col("lo"))
+      .select(col("lo"), col("hi"), col("id").as("id_a"), col("v").as("va"))
+    val b = replicas.filter(col("blk") === col("hi"))
+      .select(col("lo"), col("hi"), col("id").as("id_b"), col("v").as("vb"))
+    // A cross-block pair meets exactly once, but which side each doc
+    // lands on follows BLOCK order, not id order — normalize with
+    // least/greatest. Same-block pairs (lo == hi) meet in both
+    // orientations — keep one via id_a < id_b.
+    a.join(b, Seq("lo", "hi"))
+      .filter(col("lo") < col("hi") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("ida"),
+        greatest(col("id_a"), col("id_b")).as("idb"),
+        call_function("cosine_sim", col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("ida").as("id_a"), col("idb").as("id_b"), col("cos"))
+  }
 }

@@ -20,6 +20,21 @@ class SparseCosineSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
   }
 
+  test("densePairs (block-pair geometry) equals similarPairs on the fixture corpus") {
+    val docs = graft.Tables.table(spark, sf0001, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(org.apache.spark.sql.functions.col("id_a"),
+          org.apache.spark.sql.functions.col("id_b"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("cos"), 4).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val sparse = canon(SparseCosine.similarPairs(docs, Long.MaxValue, 0.5))
+    val dense = canon(SparseCosine.densePairs(docs, Long.MaxValue, 0.5))
+    assert(dense == sparse, s"${dense.size} dense vs ${sparse.size} sparse")
+    assert(dense.nonEmpty)
+  }
+
   test("dfCap prunes stopword-like tokens from index AND norms") {
     import spark.implicits._
     // "common" is in all three docs (df=3); A/B also share "rare"
