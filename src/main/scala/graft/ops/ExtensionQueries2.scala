@@ -177,7 +177,21 @@ object ExtensionQueries2 {
       .orderBy(desc("cos"), asc("id_a"), asc("id_b"))
   }
 
+  // ---- E-57 feature scaling (per-dimension z-score) ----------------------------
+  // First four standardized dimensions per vector; the oracle replays
+  // the same two-pass (μ_d, σ_d) arithmetic per dimension.
+  def extScale(s: SparkSession, dir: String): DataFrame =
+    Scaling.standardScale(t(s, dir, "embeddings"))
+      .select(col("vec_id"),
+        round(element_at(col("scaled"), 1), 4).as("z1"),
+        round(element_at(col("scaled"), 2), 4).as("z2"),
+        round(element_at(col("scaled"), 3), 4).as("z3"),
+        round(element_at(col("scaled"), 4), 4).as("z4"))
+      .orderBy("vec_id")
+      .limit(100)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_scale" -> (extScale _),
     "ext_sparse_cos" -> (extSparseCos _),
     "ext_cdc_chunk" -> (extCdcChunk _),
     "ext_kanon" -> (extKanon _),
@@ -190,6 +204,18 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_scale" ->
+      """with x as (select vec_id, i pos, cast(embedding[i] as double) x
+        |  from embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+        |s as (select pos, avg(x) mu, stddev_pop(x) sd from x group by pos)
+        |select vec_id,
+        |  round(max(case when pos = 1 then (x - mu) / sd end), 4) z1,
+        |  round(max(case when pos = 2 then (x - mu) / sd end), 4) z2,
+        |  round(max(case when pos = 3 then (x - mu) / sd end), 4) z3,
+        |  round(max(case when pos = 4 then (x - mu) / sd end), 4) z4
+        |from x join s using(pos)
+        |group by vec_id order by vec_id limit 100""".stripMargin,
+
     "ext_sparse_cos" ->
       """with tf as (select doc_id id, tok, count(*) tf from (
         |    select doc_id, unnest(list_filter(string_split(text, ' '),

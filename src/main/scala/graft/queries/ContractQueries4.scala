@@ -320,6 +320,31 @@ object ContractQueries4 {
       .limit(300)
   }
 
+  // ---- Q101 SQL views (S-17) -------------------------------------------------
+  // CREATE OR REPLACE TEMPORARY VIEW + querying through it — the DDL
+  // abstraction layer every SQL consumer expects beside q83's CTAS.
+  def q101View(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("graft_nation_src")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_high_nations AS
+             SELECT n_nationkey, n_regionkey, n_name
+             FROM graft_nation_src WHERE n_nationkey >= 10""")
+    s.sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
+             FROM graft_high_nations GROUP BY 1 ORDER BY 1""")
+  }
+
+  // ---- Q102 parameterized SQL (Q-PARAM) ---------------------------------------
+  // Named-parameter binding (spark.sql(text, args)) — the injection-safe
+  // programmatic entry point; the oracle inlines the same literals.
+  def q102Params(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_customer_src")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM graft_customer_src
+        |WHERE c_mktsegment = :seg AND c_acctbal > :minbal
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      Map("seg" -> "BUILDING", "minbal" -> 0))
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -337,5 +362,7 @@ object ContractQueries4 {
     "q97_try2" -> (q97Try2 _),
     "q98_arrset" -> (q98ArrSet _),
     "q99_dategrid" -> (q99DateGrid _),
-    "q100_scd2" -> (q100Scd2 _))
+    "q100_scd2" -> (q100Scd2 _),
+    "q101_view" -> (q101View _),
+    "q102_params" -> (q102Params _))
 }

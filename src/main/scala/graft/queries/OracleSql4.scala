@@ -159,5 +159,16 @@ object OracleSql4 {
         |  lead(ts) over (partition by user_id order by ts, event_id)
         |    is null is_current
         |from events where user_id <= 100
-        |order by user_id, valid_from limit 300""".stripMargin)
+        |order by user_id, valid_from limit 300""".stripMargin,
+
+    "q101_view" ->
+      """select n_regionkey, count(*) n, min(n_name) mn
+        |from nation where n_nationkey >= 10
+        |group by 1 order by 1""".stripMargin,
+
+    "q102_params" ->
+      """select c_nationkey, count(*) n, round(sum(c_acctbal), 2) bal
+        |from customer
+        |where c_mktsegment = 'BUILDING' and c_acctbal > 0
+        |group by c_nationkey order by c_nationkey""".stripMargin)
 }
