@@ -190,7 +190,34 @@ object ExtensionQueries2 {
       .orderBy("vec_id")
       .limit(100)
 
+  // ---- E-58 reciprocal rank fusion (hybrid retrieval) ---------------------------
+  // Fuse the BM25 relevance ranking (E-28's terms) with a quality
+  // ranking (unigram LM score ascending — E-18) over the same
+  // candidate set. Both ranks order by the ROUNDED score then doc_id,
+  // so float noise never reorders; the fused score is a deterministic
+  // function of integer ranks.
+  def extRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val bm = TextAnalysis.bm25(docs, Seq("spark", "table", "hash"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("s"))
+    val lm = TextAnalysis.unigramLogScore(docs)
+      .join(bm.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), round(col("lm_score"), 4).as("s"))
+    val r1 = bm.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("s"), asc("doc_id")))
+        .cast("long").as("rank"))
+    val r2 = lm.select(col("doc_id"),
+      row_number().over(Window.orderBy(asc("s"), asc("doc_id")))
+        .cast("long").as("rank"))
+    graft.text.Fusion.rrf(Seq(r1, r2))
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_rrf" -> (extRrf _),
     "ext_scale" -> (extScale _),
     "ext_sparse_cos" -> (extSparseCos _),
     "ext_cdc_chunk" -> (extCdcChunk _),
@@ -204,6 +231,37 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_rrf" ->
+      """with toks as (select doc_id,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) w
+        |  from documents),
+        |dl as (select doc_id, count(*) dl from toks group by doc_id),
+        |corpus as (select count(*) n_docs, avg(dl) avgdl from dl),
+        |tf as (select doc_id, w, count(*) tf from toks
+        |  where w in ('spark', 'table', 'hash') group by doc_id, w),
+        |dfreq as (select w, count(*) df from tf group by w),
+        |bm as (select doc_id, round(sum(
+        |    ln(1 + (n_docs - df + cast(0.5 as double)) / (df + cast(0.5 as double)))
+        |    * (tf * (cast(1.2 as double) + 1))
+        |    / (tf + cast(1.2 as double)
+        |       * (cast(0.25 as double) + cast(0.75 as double) * dl / avgdl))), 4) s
+        |  from tf join dfreq using(w) join dl using(doc_id) cross join corpus
+        |  group by doc_id),
+        |cnt as (select w, count(*) c from toks group by w),
+        |tot as (select cast(sum(c) as double) n from cnt),
+        |lmc as (select t.doc_id, round(avg(-ln(cast(c as double) / n)), 4) s
+        |  from toks t join cnt using(w) cross join tot
+        |  where t.doc_id in (select doc_id from bm)
+        |  group by t.doc_id),
+        |r1 as (select doc_id, row_number() over (order by s desc, doc_id) rank
+        |  from bm),
+        |r2 as (select doc_id, row_number() over (order by s asc, doc_id) rank
+        |  from lmc),
+        |u as (select * from r1 union all select * from r2)
+        |select doc_id, round(sum(1.0 / (60 + rank)), 6) rrf
+        |from u group by doc_id
+        |order by rrf desc, doc_id limit 20""".stripMargin,
+
     "ext_scale" ->
       """with x as (select vec_id, i pos, cast(embedding[i] as double) x
         |  from embeddings, unnest(range(1, len(embedding) + 1)) u(i)),

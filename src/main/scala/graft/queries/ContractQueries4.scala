@@ -345,6 +345,22 @@ object ContractQueries4 {
       Map("seg" -> "BUILDING", "minbal" -> 0))
   }
 
+  // ---- Q103 unionByName with missing columns (U-7) ---------------------------
+  // Schema-evolution union: two frames with different column sets merge
+  // by NAME (not position), absent columns null-filled — the in-memory
+  // counterpart of q87's mergeSchema read.
+  def q103UnionByName(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_custkey"), col("c_mktsegment"))
+    val b = c.select(col("c_acctbal"), col("c_custkey")) // reordered + drifted
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy((col("c_custkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), count(col("c_mktsegment")).as("n_seg"),
+        count(col("c_acctbal")).as("n_bal"),
+        round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("bucket")
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -364,5 +380,6 @@ object ContractQueries4 {
     "q99_dategrid" -> (q99DateGrid _),
     "q100_scd2" -> (q100Scd2 _),
     "q101_view" -> (q101View _),
-    "q102_params" -> (q102Params _))
+    "q102_params" -> (q102Params _),
+    "q103_unionbyname" -> (q103UnionByName _))
 }

@@ -170,5 +170,16 @@ object OracleSql4 {
       """select c_nationkey, count(*) n, round(sum(c_acctbal), 2) bal
         |from customer
         |where c_mktsegment = 'BUILDING' and c_acctbal > 0
-        |group by c_nationkey order by c_nationkey""".stripMargin)
+        |group by c_nationkey order by c_nationkey""".stripMargin,
+
+    "q103_unionbyname" ->
+      """with u as (
+        |  select c_custkey, c_mktsegment, null c_acctbal from customer
+        |  union all
+        |  select c_custkey, null, c_acctbal from customer)
+        |select c_custkey % 10 bucket, count(*) n,
+        |  cast(count(c_mktsegment) as bigint) n_seg,
+        |  cast(count(c_acctbal) as bigint) n_bal,
+        |  round(sum(c_acctbal), 2) bal
+        |from u group by 1 order by 1""".stripMargin)
 }
