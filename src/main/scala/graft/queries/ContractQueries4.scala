@@ -361,6 +361,21 @@ object ContractQueries4 {
       .orderBy("bucket")
   }
 
+  // ---- Q104 multiple COUNT(DISTINCT) in one aggregate (A-2b) ----------------
+  // The profiling shape: several distinct counts over different columns
+  // in a single GROUP BY. Catalyst plans this through an Expand
+  // (one replicated stream per distinct set) — a shape nothing else in
+  // the suite exercises.
+  def q104MultiDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("nd_cust"),
+        countDistinct(col("o_orderpriority")).as("nd_prio"),
+        countDistinct(year(col("o_orderdate"))).as("nd_year"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -381,5 +396,6 @@ object ContractQueries4 {
     "q100_scd2" -> (q100Scd2 _),
     "q101_view" -> (q101View _),
     "q102_params" -> (q102Params _),
-    "q103_unionbyname" -> (q103UnionByName _))
+    "q103_unionbyname" -> (q103UnionByName _),
+    "q104_multidistinct" -> (q104MultiDistinct _))
 }

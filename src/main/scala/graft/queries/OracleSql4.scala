@@ -181,5 +181,13 @@ object OracleSql4 {
         |  cast(count(c_mktsegment) as bigint) n_seg,
         |  cast(count(c_acctbal) as bigint) n_bal,
         |  round(sum(c_acctbal), 2) bal
-        |from u group by 1 order by 1""".stripMargin)
+        |from u group by 1 order by 1""".stripMargin,
+
+    "q104_multidistinct" ->
+      """select o_orderstatus,
+        |  count(distinct o_custkey) nd_cust,
+        |  count(distinct o_orderpriority) nd_prio,
+        |  count(distinct year(o_orderdate)) nd_year,
+        |  count(*) n
+        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin)
 }
