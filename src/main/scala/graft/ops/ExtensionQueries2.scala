@@ -216,7 +216,25 @@ object ExtensionQueries2 {
       .limit(20)
   }
 
+  // ---- E-59 market-basket association rules --------------------------------------
+  // Brand co-purchase within orders: top directional rules by pair
+  // count. part is dimension-sized (broadcast onto lineitem).
+  def extBasket(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    Basket.associationRules(baskets, "l_orderkey", "p_brand")
+      .select(col("a"), col("b"), col("c_ab"),
+        round(col("support"), 6).as("support"),
+        round(col("confidence"), 4).as("confidence"),
+        round(col("lift"), 4).as("lift"))
+      .orderBy(desc("c_ab"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_basket" -> (extBasket _),
     "ext_rrf" -> (extRrf _),
     "ext_scale" -> (extScale _),
     "ext_sparse_cos" -> (extSparseCos _),
@@ -231,6 +249,22 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_basket" ->
+      """with b as (select distinct l_orderkey bk, p_brand item
+        |  from lineitem join part on l_partkey = p_partkey),
+        |n as (select count(distinct bk) n_baskets from b),
+        |ic as (select item, count(*) c from b group by item),
+        |p as (select x.item a, y.item b, count(*) c_ab
+        |  from b x join b y on x.bk = y.bk and x.item <> y.item
+        |  group by 1, 2)
+        |select a, b, c_ab,
+        |  round(c_ab / n_baskets, 6) support,
+        |  round(c_ab / ca.c, 4) confidence,
+        |  round(c_ab * n_baskets / (ca.c * cb.c), 4) lift
+        |from p join ic ca on a = ca.item join ic cb on b = cb.item
+        |cross join n
+        |order by c_ab desc, a, b limit 20""".stripMargin,
+
     "ext_rrf" ->
       """with toks as (select doc_id,
         |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) w

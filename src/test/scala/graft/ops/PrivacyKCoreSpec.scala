@@ -21,6 +21,22 @@ class PrivacyKCoreSpec extends AnyFunSuite with SparkFixture {
     assert(groups.values.forall(_ >= 3))
   }
 
+  test("basket rules: closed-form support/confidence/lift on a crafted basket set") {
+    import spark.implicits._
+    // 4 baskets: {x,y} {x,y} {x} {z} → c_xy=2, supp=0.5,
+    // conf(x→y)=2/3, conf(y→x)=1, lift=2·4/(3·2)=4/3
+    val b = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (4L, "z")).toDF("bk", "item")
+    val got = Basket.associationRules(b, "bk", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(("x", "y"), ("y", "x")))
+    val (cab, supp, confXY, lift) = got(("x", "y"))
+    assert(cab == 2L && supp == 0.5 && math.abs(confXY - 2.0 / 3) < 1e-12)
+    assert(math.abs(lift - 4.0 / 3) < 1e-12)
+    assert(got(("y", "x"))._3 == 1.0, "confidence is directional")
+  }
+
   test("kCore peels a pendant chain but keeps the clique; converges to fixpoint") {
     import spark.implicits._
     // K4 clique {1,2,3,4} (degree 3 inside) + chain 4-5-6 hanging off

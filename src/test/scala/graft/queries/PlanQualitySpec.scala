@@ -129,7 +129,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_lm_score",         // tokens × broadcast(1-row total-count)
       "ext_sparse_cos",       // tf × broadcast(1-row corpus count); the
                               // pair join itself is an equi-join on token
+      "ext_basket",           // rules × broadcast(1-row basket count);
+                              // pair expansion is an equi-join on basket
       "ext_bm25",             // tf × broadcast(1-row corpus stats)
+      "ext_rrf",              // inherits ext_bm25's 1-row stats broadcast
       "ext_ctfidf")           // tf × broadcast(1-row group count)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
