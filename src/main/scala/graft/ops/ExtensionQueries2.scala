@@ -233,7 +233,32 @@ object ExtensionQueries2 {
       .limit(20)
   }
 
+  // ---- E-60 time-weighted average (TWAP) ---------------------------------------
+  // Each observation holds until the next one, so its weight is the
+  // interval it covered: twap = Σ vᵢ·Δtᵢ ∕ Σ Δtᵢ per key. One lead()
+  // window per key (single shuffle), the same geometry as SCD2 — this
+  // is what "average sensor reading" / "average position" should mean
+  // on irregular samples, where the plain mean over-weights bursts.
+  // Timestamp→double keeps fractional seconds (unix_timestamp would
+  // truncate, q93's lesson).
+  def extTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    t(s, dir, "events")
+      .filter(col("user_id") <= 50)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").cast("double").as("tsec"))
+      .withColumn("dt", lead(col("tsec"), 1).over(w) - col("tsec"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(round(sum(col("value") * col("dt")) / sum(col("dt")), 4)
+          .as("twap"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_twap" -> (extTwap _),
     "ext_basket" -> (extBasket _),
     "ext_rrf" -> (extRrf _),
     "ext_scale" -> (extScale _),
@@ -249,6 +274,18 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_twap" ->
+      """with x as (select user_id, event_id, value, epoch(ts) tsec
+        |  from events where user_id <= 50),
+        |d as (select user_id, value,
+        |    lead(tsec) over (partition by user_id
+        |      order by tsec, event_id) - tsec dt
+        |  from x)
+        |select user_id, round(sum(value * dt) / sum(dt), 4) twap,
+        |  count(*) n_intervals
+        |from d where dt is not null
+        |group by user_id order by user_id""".stripMargin,
+
     "ext_basket" ->
       """with b as (select distinct l_orderkey bk, p_brand item
         |  from lineitem join part on l_partkey = p_partkey),
