@@ -257,7 +257,51 @@ object ExtensionQueries2 {
       .orderBy("user_id")
   }
 
+  // ---- E-61 Benford leading-digit audit -------------------------------------------
+  // Fraud/synthetic-data screening: the leading-digit distribution of a
+  // naturally-occurring amount column vs Benford's law, with the
+  // per-digit χ² contribution. Leading digit extracted arithmetically
+  // (x / 10^⌊log10 x⌋) — string formatting of doubles is not
+  // engine-portable; log10 at non-powers is. One scan + a 9-group agg.
+  def extChisq(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    t(s, dir, "orders")
+      .filter(x > 0)
+      .select(floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+        .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("obs"))
+      .withColumn("n", sum("obs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit").cast("long").as("digit"), col("obs"),
+        round(col("n") * log10(lit(1.0) + lit(1.0) / col("digit")), 4)
+          .as("exp"),
+        round(pow(col("obs") - col("n") * log10(lit(1.0) + lit(1.0) / col("digit")), 2)
+          / (col("n") * log10(lit(1.0) + lit(1.0) / col("digit"))), 4)
+          .as("chi2"))
+      .orderBy("digit")
+  }
+
+  // ---- E-62 Gini concentration ----------------------------------------------------
+  // Inequality of customer spend: G = (2 Σ i·xᵢ)/(n Σ x) − (n+1)/n over
+  // rank-ordered totals. Tie order cannot change Σ i·xᵢ (equal x across
+  // a tie block), so the statistic is deterministic.
+  def extGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = t(s, dir, "orders")
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("x"))
+    spend
+      .withColumn("i", row_number().over(Window.orderBy("x", "o_custkey"))
+        .cast("double"))
+      .agg(count(lit(1)).as("n"), round(sum("x"), 2).as("total"),
+        round((lit(2.0) * sum(col("i") * col("x")))
+          / (count(lit(1)) * sum("x"))
+          - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_chisq" -> (extChisq _),
+    "ext_gini" -> (extGini _),
     "ext_twap" -> (extTwap _),
     "ext_basket" -> (extBasket _),
     "ext_rrf" -> (extRrf _),
@@ -274,6 +318,28 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_chisq" ->
+      """with d as (select cast(floor(o_totalprice
+        |      / pow(10, floor(log10(o_totalprice)))) as bigint) digit
+        |  from orders where o_totalprice > 0),
+        |o as (select digit, count(*) obs from d group by digit),
+        |n as (select sum(obs) n from o)
+        |select digit, obs,
+        |  round(n * log10(1 + 1.0 / digit), 4) exp,
+        |  round(pow(obs - n * log10(1 + 1.0 / digit), 2)
+        |        / (n * log10(1 + 1.0 / digit)), 4) chi2
+        |from o cross join n order by digit""".stripMargin,
+
+    "ext_gini" ->
+      """with s as (select o_custkey, sum(o_totalprice) x
+        |  from orders group by o_custkey),
+        |r as (select x, cast(row_number() over (order by x, o_custkey)
+        |    as double) i from s)
+        |select count(*) n, round(sum(x), 2) total,
+        |  round((2.0 * sum(i * x)) / (count(*) * sum(x))
+        |        - (count(*) + 1.0) / count(*), 6) gini
+        |from r""".stripMargin,
+
     "ext_twap" ->
       """with x as (select user_id, event_id, value, epoch(ts) tsec
         |  from events where user_id <= 50),
