@@ -299,7 +299,33 @@ object ExtensionQueries2 {
           - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
   }
 
+  // ---- E-63 exponential moving average (bounded lookback) ------------------------
+  // EMA as a closed-form weighted mean over the last 50 observations
+  // per key: Σ x·α^(age) ∕ Σ α^(age), α = 0.8. The bounded lookback is
+  // what keeps it portable — over an unbounded series the weight span
+  // (α^-n) outgrows double precision and summation order starts to
+  // matter; over 50 rows the span is 1.4e-5..1 and round(4) is safely
+  // inside both engines' agreement. No recursion anywhere — rank
+  // window + one weighted aggregate.
+  def extEma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("tsec"), desc("event_id"))
+    t(s, dir, "events")
+      .filter(col("user_id") <= 50)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").cast("double").as("tsec"))
+      .withColumn("age", (row_number().over(w) - 1).cast("double"))
+      .filter(col("age") < 50)
+      .groupBy("user_id")
+      .agg(round(sum(col("value") * pow(lit(0.8), col("age")))
+          / sum(pow(lit(0.8), col("age"))), 4).as("ema"),
+        count(lit(1)).as("n_used"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_ema" -> (extEma _),
     "ext_chisq" -> (extChisq _),
     "ext_gini" -> (extGini _),
     "ext_twap" -> (extTwap _),
@@ -318,6 +344,19 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_ema" ->
+      """with x as (select user_id, event_id, value, epoch(ts) tsec
+        |  from events where user_id <= 50),
+        |r as (select user_id, value,
+        |    cast(row_number() over (partition by user_id
+        |      order by tsec desc, event_id desc) - 1 as double) age
+        |  from x)
+        |select user_id,
+        |  round(sum(value * pow(0.8, age)) / sum(pow(0.8, age)), 4) ema,
+        |  count(*) n_used
+        |from r where age < 50
+        |group by user_id order by user_id""".stripMargin,
+
     "ext_chisq" ->
       """with d as (select cast(floor(o_totalprice
         |      / pow(10, floor(log10(o_totalprice)))) as bigint) digit

@@ -376,6 +376,26 @@ object ContractQueries4 {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  // ---- Q105 NOT IN vs NOT EXISTS under NULLs (Q-NULL3VL) ---------------------
+  // The classic three-valued-logic trap, pinned cross-engine: when the
+  // NOT IN subquery produces even one NULL, the predicate is never TRUE
+  // and the result is EMPTY; NOT EXISTS (null-safe) keeps rows. Both
+  // engines must agree on both counts.
+  def q105NotIn(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_c105")
+    t(s, dir, "orders").createOrReplaceTempView("graft_o105")
+    s.sql("""
+      SELECT
+        (SELECT count(*) FROM graft_c105 WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                       ELSE o_custkey END FROM graft_o105)) AS n_notin,
+        (SELECT count(*) FROM graft_c105 c WHERE NOT EXISTS
+          (SELECT 1 FROM graft_o105 o
+           WHERE CASE WHEN o.o_orderkey % 100 = 0 THEN NULL
+                      ELSE o.o_custkey END = c.c_custkey)) AS n_notexists
+    """)
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -397,5 +417,6 @@ object ContractQueries4 {
     "q101_view" -> (q101View _),
     "q102_params" -> (q102Params _),
     "q103_unionbyname" -> (q103UnionByName _),
-    "q104_multidistinct" -> (q104MultiDistinct _))
+    "q104_multidistinct" -> (q104MultiDistinct _),
+    "q105_notin" -> (q105NotIn _))
 }

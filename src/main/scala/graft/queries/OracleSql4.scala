@@ -189,5 +189,15 @@ object OracleSql4 {
         |  count(distinct o_orderpriority) nd_prio,
         |  count(distinct year(o_orderdate)) nd_year,
         |  count(*) n
-        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin)
+        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin,
+
+    "q105_notin" ->
+      """select
+        |  (select count(*) from customer where c_custkey not in
+        |    (select case when o_orderkey % 100 = 0 then null
+        |            else o_custkey end from orders)) n_notin,
+        |  (select count(*) from customer c where not exists
+        |    (select 1 from orders o
+        |     where case when o.o_orderkey % 100 = 0 then null
+        |           else o.o_custkey end = c.c_custkey)) n_notexists""".stripMargin)
 }
