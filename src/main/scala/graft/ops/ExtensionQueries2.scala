@@ -324,7 +324,23 @@ object ExtensionQueries2 {
       .orderBy("user_id")
   }
 
+  // ---- E-65 distribution drift: population stability index -----------------------
+  // Price distribution, orders up to 1994 (reference) vs 1996+ (current);
+  // per-bin PSI contributions localize the drift.
+  def extPsi(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(col("o_orderdate"))
+    Drift.psiBins(
+        t(s, dir, "orders").filter(yr <= 1994 || yr >= 1996),
+        value = col("o_totalprice"), isRef = yr <= 1994,
+        binWidth = 50000.0, nBins = 10)
+      .select(col("bin").cast("long").as("bin"), col("c_ref"), col("c_cur"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("contrib"), 6).as("contrib"))
+      .orderBy("bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_psi" -> (extPsi _),
     "ext_ema" -> (extEma _),
     "ext_chisq" -> (extChisq _),
     "ext_gini" -> (extGini _),
@@ -344,6 +360,23 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_psi" ->
+      """with f as (select o_totalprice x, year(o_orderdate) <= 1994 is_ref
+        |  from orders
+        |  where year(o_orderdate) <= 1994 or year(o_orderdate) >= 1996),
+        |c as (select cast(least(floor(x / 50000), 9) as bigint) bin,
+        |    cast(sum(case when is_ref then 1 else 0 end) as bigint) c_ref,
+        |    cast(sum(case when is_ref then 0 else 1 end) as bigint) c_cur
+        |  from f group by 1),
+        |t as (select sum(c_ref) n_ref, sum(c_cur) n_cur from c)
+        |select bin, c_ref, c_cur,
+        |  round((c_ref + 1) / (n_ref + 10), 6) p,
+        |  round((c_cur + 1) / (n_cur + 10), 6) q,
+        |  round(((c_ref + 1) / (n_ref + 10) - (c_cur + 1) / (n_cur + 10))
+        |    * ln(((c_ref + 1) / (n_ref + 10))
+        |         / ((c_cur + 1) / (n_cur + 10))), 6) contrib
+        |from c cross join t order by bin""".stripMargin,
+
     "ext_ema" ->
       """with x as (select user_id, event_id, value, epoch(ts) tsec
         |  from events where user_id <= 50),

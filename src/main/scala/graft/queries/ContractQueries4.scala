@@ -396,6 +396,37 @@ object ContractQueries4 {
     """)
   }
 
+  // ---- Q106 correlated scalar subquery in SELECT (Q-CSQ) ---------------------
+  // Per-row correlated aggregate — Catalyst decorrelates to an outer
+  // join + aggregate (never a per-row loop); count over no rows is 0,
+  // also pinned (customers without orders appear).
+  def q106CorrScalar(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_c106")
+    t(s, dir, "orders").createOrReplaceTempView("graft_o106")
+    s.sql("""SELECT c_custkey,
+               (SELECT count(*) FROM graft_o106 o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT round(max(o_totalprice), 2) FROM graft_o106 o
+                WHERE o.o_custkey = c.c_custkey) AS max_price
+             FROM graft_c106 c
+             WHERE c_custkey <= 100 ORDER BY c_custkey""")
+  }
+
+  // ---- Q107 FILTER clause aggregates (A-21) -----------------------------------
+  // SQL-standard selective aggregation — one scan, per-aggregate
+  // predicates (the idiom pivot generalizes).
+  def q107Filter(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_o107")
+    s.sql("""SELECT o_orderstatus,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1995), 2)
+                 AS total_1995,
+               round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+                 AS avg_urgent
+             FROM graft_o107 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -418,5 +449,7 @@ object ContractQueries4 {
     "q102_params" -> (q102Params _),
     "q103_unionbyname" -> (q103UnionByName _),
     "q104_multidistinct" -> (q104MultiDistinct _),
-    "q105_notin" -> (q105NotIn _))
+    "q105_notin" -> (q105NotIn _),
+    "q106_corrscalar" -> (q106CorrScalar _),
+    "q107_filter" -> (q107Filter _))
 }

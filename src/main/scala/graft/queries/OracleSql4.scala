@@ -199,5 +199,24 @@ object OracleSql4 {
         |  (select count(*) from customer c where not exists
         |    (select 1 from orders o
         |     where case when o.o_orderkey % 100 = 0 then null
-        |           else o.o_custkey end = c.c_custkey)) n_notexists""".stripMargin)
+        |           else o.o_custkey end = c.c_custkey)) n_notexists""".stripMargin,
+
+    "q106_corrscalar" ->
+      """select c_custkey,
+        |  (select count(*) from orders o
+        |   where o.o_custkey = c.c_custkey) n_orders,
+        |  (select round(max(o_totalprice), 2) from orders o
+        |   where o.o_custkey = c.c_custkey) max_price
+        |from customer c
+        |where c_custkey <= 100 order by c_custkey""".stripMargin,
+
+    "q107_filter" ->
+      """select o_orderstatus,
+        |  count(*) n,
+        |  count(*) filter (where o_totalprice > 200000) n_big,
+        |  round(sum(o_totalprice) filter (where year(o_orderdate) = 1995), 2)
+        |    total_1995,
+        |  round(avg(o_totalprice) filter (where o_orderpriority = '1-URGENT'), 2)
+        |    avg_urgent
+        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin)
 }
