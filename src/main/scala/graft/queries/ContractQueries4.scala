@@ -427,6 +427,37 @@ object ContractQueries4 {
              FROM graft_o107 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  // ---- Q108 encoding/hash scalars (F-8b) ------------------------------------
+  // md5 / hex / base64 / ascii / chr — the encoding surface beside q32's
+  // sha2. Spark hex(number) and DuckDB hex(bigint) both emit uppercase
+  // without leading zeros.
+  def q108Encoding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        md5(col("c_mktsegment").cast("binary")).as("m5"),
+        hex(col("c_custkey")).as("hx"),
+        base64(col("c_mktsegment").cast("binary")).as("b64"),
+        ascii(col("c_mktsegment")).cast("long").as("a_code"),
+        chr(lit(65) + col("c_custkey") % 26).as("ch"))
+      .orderBy("c_custkey")
+      .limit(100)
+
+  // ---- Q109 product + DISTINCT aggregates (A-22) ------------------------------
+  // Spark has no product() aggregate — the engine's rewrite is the
+  // exp∘sum∘ln identity (valid here: 1 + tax > 0); the oracle runs
+  // DuckDB's NATIVE product over the same rows, pinning the rewrite.
+  // Plus sum over DISTINCT values.
+  def q109AggMisc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 200)
+      .groupBy("l_returnflag")
+      .agg(
+        round(exp(sum(log(lit(1.0) + col("l_tax")))), 6).as("prod_tax"),
+        round(sum_distinct(col("l_quantity")), 2).as("sd_qty"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -451,5 +482,7 @@ object ContractQueries4 {
     "q104_multidistinct" -> (q104MultiDistinct _),
     "q105_notin" -> (q105NotIn _),
     "q106_corrscalar" -> (q106CorrScalar _),
-    "q107_filter" -> (q107Filter _))
+    "q107_filter" -> (q107Filter _),
+    "q108_encoding" -> (q108Encoding _),
+    "q109_aggmisc" -> (q109AggMisc _))
 }

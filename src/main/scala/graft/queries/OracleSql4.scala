@@ -218,5 +218,23 @@ object OracleSql4 {
         |    total_1995,
         |  round(avg(o_totalprice) filter (where o_orderpriority = '1-URGENT'), 2)
         |    avg_urgent
-        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin)
+        |from orders group by o_orderstatus order by o_orderstatus""".stripMargin,
+
+    "q108_encoding" ->
+      """select c_custkey,
+        |  md5(c_mktsegment) m5,
+        |  hex(c_custkey) hx,
+        |  base64(encode(c_mktsegment)) b64,
+        |  cast(ascii(c_mktsegment) as bigint) a_code,
+        |  chr(cast(65 + c_custkey % 26 as int)) ch
+        |from customer order by c_custkey limit 100""".stripMargin,
+
+    "q109_aggmisc" ->
+      """select l_returnflag,
+        |  round(product(1.0 + l_tax), 6) prod_tax,
+        |  round(sum(distinct cast(l_quantity as double)), 2) sd_qty,
+        |  round(avg(cast(l_quantity as double)), 4) avg_qty,
+        |  count(*) n
+        |from lineitem where l_orderkey <= 200
+        |group by l_returnflag order by l_returnflag""".stripMargin)
 }
