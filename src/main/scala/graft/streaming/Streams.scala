@@ -107,6 +107,22 @@ object Streams {
     events.join(broadcast(customers),
       events("user_id") === customers("c_custkey"), "inner")
 
+  // ---- ST-14 streaming drift monitor ----------------------------------------
+  /** Binned value counts over a stream (complete mode): the live side
+    * of the PSI drift monitor (`ops.Drift`) — the sink always holds the
+    * current-distribution histogram of everything ingested so far, and
+    * PSI against a static reference histogram is a bins-sized
+    * computation on top (StreamingSpec derives it from the sink and
+    * requires equality with the batch `Drift.psiBins` on identical
+    * data). State is O(nBins) regardless of stream length.
+    */
+  def valueBins(events: DataFrame, binWidth: Double, nBins: Int): DataFrame =
+    events
+      .select(least(floor(col("value") / binWidth), lit(nBins - 1))
+        .cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("c_cur"))
+
   // ---- ST-13 streaming corpus scoring --------------------------------------
   /** The CorpusPipeline's per-document text stages as a streaming
     * transform: scrub, language ID and quality scoring are stateless

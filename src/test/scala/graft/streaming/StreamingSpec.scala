@@ -207,6 +207,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.columns.contains("quality") && got.columns.contains("lang_id"))
   }
 
+  test("ST-14 streaming drift histogram: derived PSI equals batch Drift.psiBins") {
+    // current slice (odd users) streams; even users are the static
+    // reference. The sink's histogram + the reference histogram must
+    // yield exactly the batch operator's per-bin PSI contributions.
+    val binW = 20.0; val nBins = 5
+    val stream = Streams.readEvents(spark, eventsDir)
+      .filter(col("user_id") % 2 === 1)
+    val got = replay(Streams.valueBins(stream, binW, nBins), "complete")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ref = batchEvents.filter(col("user_id") % 2 === 0)
+      .select(least(floor(col("value") / binW), lit(nBins - 1))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bins = (got.keySet ++ ref.keySet).toSeq.sorted
+    val (nCur, nRef) = (got.values.sum.toDouble, ref.values.sum.toDouble)
+    val psiStream = bins.map { b =>
+      val p = (ref.getOrElse(b, 0L) + 1) / (nRef + nBins)
+      val q = (got.getOrElse(b, 0L) + 1) / (nCur + nBins)
+      (p - q) * math.log(p / q)
+    }.sum
+    val psiBatch = graft.ops.Drift.psiBins(batchEvents,
+        value = col("value"), isRef = col("user_id") % 2 === 0,
+        binWidth = binW, nBins = nBins)
+      .agg(sum("contrib")).collect()(0).getDouble(0)
+    assert(math.abs(psiStream - psiBatch) < 1e-12,
+      s"stream-derived PSI $psiStream != batch $psiBatch")
+  }
+
   test("ST-6 stream-static join equals batch join") {
     val customers = Tables.table(spark, sf0001, "customer")
       .select("c_custkey", "c_mktsegment")
