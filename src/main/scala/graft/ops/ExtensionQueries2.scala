@@ -339,7 +339,30 @@ object ExtensionQueries2 {
       .orderBy("bin")
   }
 
+  // ---- E-66 AUC-ROC of an embedding scorer ----------------------------------------
+  // Does cosine-to-the-label-0-centroid separate label 0 from the rest?
+  // Score = cosine to the per-dim mean of label-0 vectors, ROUNDED
+  // before ranking (ties on the rounded score take average ranks —
+  // float noise cannot move the statistic). The oracle replays
+  // centroid, score, ranks and the Mann–Whitney formula.
+  def extAuc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val centroid = e.filter(col("label") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg("v").as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c"))
+    val scored = e.crossJoin(broadcast(centroid))
+      .select(round(call_function("cosine_sim", col("embedding"), col("c")), 6)
+          .as("score"),
+        (col("label") === 0).as("pos"))
+    Eval.auc(scored, col("score"), col("pos"))
+      .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_auc" -> (extAuc _),
     "ext_psi" -> (extPsi _),
     "ext_ema" -> (extEma _),
     "ext_chisq" -> (extChisq _),
@@ -360,6 +383,29 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_auc" ->
+      """with c as (select i, avg(cast(embedding[i] as double)) m
+        |  from embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+        |  where label = 0 group by i),
+        |sc as (select vec_id, label = 0 pos,
+        |    round(
+        |      (select sum(cast(e.embedding[c.i] as double) * c.m) from c)
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> cast(x as double) * x)))
+        |         * (select sqrt(sum(m * m)) from c)), 6) score
+        |  from embeddings e),
+        |r as (select pos, rank() over (order by score)
+        |    + (count(*) over (partition by score) - 1) / 2.0 ar
+        |  from sc)
+        |select cast(sum(case when pos then 1 else 0 end) as bigint) n_pos,
+        |  cast(sum(case when pos then 0 else 1 end) as bigint) n_neg,
+        |  round((sum(case when pos then ar end)
+        |         - sum(case when pos then 1 else 0 end)
+        |           * (sum(case when pos then 1 else 0 end) + 1) / 2.0)
+        |        / (sum(case when pos then 1 else 0 end)
+        |           * sum(case when pos then 0 else 1 end)), 6) auc
+        |from r""".stripMargin,
+
     "ext_psi" ->
       """with f as (select o_totalprice x, year(o_orderdate) <= 1994 is_ref
         |  from orders
