@@ -361,7 +361,28 @@ object ExtensionQueries2 {
       .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))
   }
 
+  // ---- T-14 frequent-token subsampling (word2vec-style) ----------------------------
+  // Per-token before/after occurrence counts under t = 0.005: common
+  // tokens thin ~3×, rare tokens survive untouched (p_keep saturates
+  // at 1). The kept set is a pure function of sha256 — the oracle
+  // replays the identical coin.
+  def extSubsample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), x => x =!= ""))
+        .as(Seq("pos", "tok")))
+    val before = toks.groupBy("tok").agg(count(lit(1)).as("n_before"))
+    val after = TextAnalysis.subsampleFrequent(docs, t = 0.005)
+      .groupBy("tok").agg(count(lit(1)).as("ka"))
+    before.join(after, Seq("tok"), "left")
+      .select(col("tok"), col("n_before"),
+        coalesce(col("ka"), lit(0L)).as("n_after"))
+      .orderBy(desc("n_before"), asc("tok"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_subsample" -> (extSubsample _),
     "ext_auc" -> (extAuc _),
     "ext_psi" -> (extPsi _),
     "ext_ema" -> (extEma _),
@@ -383,6 +404,25 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_subsample" ->
+      """with tk as (select doc_id, i - 1 pos, tl[i] tok
+        |  from (select doc_id, list_filter(string_split(text, ' '),
+        |      w -> w <> '') tl from documents),
+        |    unnest(range(1, len(tl) + 1)) u(i)),
+        |tot as (select cast(count(*) as double) n from tk),
+        |fr as (select tok, count(*) c from tk group by tok),
+        |p as (select tok, c,
+        |    least(1.0, sqrt(0.005 / (c / n)) + 0.005 / (c / n)) pk
+        |  from fr, tot),
+        |kept as (select tk.tok from tk join p using(tok)
+        |  where ((('0x' || substr(sha256(doc_id || ':' || pos), 1, 15))::bigint)
+        |         + cast(0.5 as double)) / 1152921504606846976.0 < pk),
+        |ka as (select tok, count(*) k from kept group by tok)
+        |select p.tok, cast(c as bigint) n_before,
+        |  cast(coalesce(k, 0) as bigint) n_after
+        |from p left join ka using(tok)
+        |order by n_before desc, p.tok limit 20""".stripMargin,
+
     "ext_auc" ->
       """with c as (select i, avg(cast(embedding[i] as double)) m
         |  from embeddings, unnest(range(1, len(embedding) + 1)) u(i)

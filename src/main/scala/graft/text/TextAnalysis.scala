@@ -177,6 +177,35 @@ object TextAnalysis {
         round(col("top2") / col("n2"), 4).as("top2_frac"))
   }
 
+  /** Word2vec-style frequent-token subsampling (T-14, Mikolov et al.
+    * 2013 §2.3): a token occurrence is kept with probability
+    * p(w) = min(1, √(t∕f) + t∕f), f = w's corpus frequency share —
+    * aggressively thinning stopword-frequency tokens before
+    * co-occurrence counting while leaving rare tokens intact (the
+    * standard embedding-training preprocessing step). The coin is the
+    * RNG-free [[graft.ops.Sampling.hashUniform]] over (id:pos), so the
+    * draw is bit-reproducible across engines, reruns and
+    * partitionings. The frequency table is vocabulary-sized
+    * (broadcast); the corpus total is a 1-row broadcast.
+    *
+    * @return kept occurrences (idCol, pos, tok), pos 0-based
+    */
+  def subsampleFrequent(df: DataFrame, t: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), x => x =!= ""))
+        .as(Seq("pos", "tok")))
+    val tot = toks.select(count(lit(1)).cast("double").as("n_tot"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    toks.join(broadcast(freq), "tok").crossJoin(broadcast(tot))
+      .withColumn("f", col("c") / col("n_tot"))
+      .withColumn("p_keep",
+        least(lit(1.0), sqrt(lit(t) / col("f")) + lit(t) / col("f")))
+      .filter(graft.ops.Sampling.hashUniform(
+        concat(col(idCol), lit(":"), col("pos"))) < col("p_keep"))
+      .select(col(idCol), col("pos"), col("tok"))
+  }
+
   /** Per-document Shannon entropy of the token distribution (E-52), in
     * nats — the vocabulary-diversity quality signal complementing
     * [[repetitionSignals]]: template/boilerplate text scores low, rich
