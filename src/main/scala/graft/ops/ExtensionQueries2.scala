@@ -381,7 +381,47 @@ object ExtensionQueries2 {
       .limit(20)
   }
 
+  // ---- E-67 NDCG@10 retrieval evaluation ------------------------------------------
+  // Per probe (every 97th vector): rank the corpus by rounded cosine,
+  // binary relevance = same label; NDCG@10 = DCG / IDCG with
+  // IDCG = Σ_{i≤min(10, n_relevant)} 1/log2(i+1) (the ideal list).
+  // The probe side is tiny (broadcast probe pattern, like
+  // ext_embed_topk); ideal-gain sums run as HOF folds over sequence —
+  // no driver math.
+  def extNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("label").as("plabel"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+    val ranked = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(call_function("cosine_sim", col("embedding"), col("pv")), 4)
+          .as("cos"),
+        when(col("label") === col("plabel"), 1.0).otherwise(0.0).as("rel"))
+      .withColumn("rk", row_number().over(w))
+    val dcg = ranked.filter(col("rk") <= 10)
+      .groupBy("probe_id")
+      .agg(sum(col("rel") / log(2.0, col("rk") + 1)).as("dcg"))
+    val nRel = ranked.groupBy("probe_id")
+      .agg(sum("rel").cast("long").as("n_rel"))
+    val idcg = aggregate(
+      transform(sequence(lit(1), least(col("n_rel"), lit(10)).cast("int")),
+        i => lit(1.0) / log(2.0, i + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    dcg.join(nRel, "probe_id")
+      .select(col("probe_id"), round(col("dcg"), 6).as("dcg"),
+        round(idcg, 6).as("idcg"),
+        round(col("dcg") / idcg, 6).as("ndcg"))
+      .orderBy("probe_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_ndcg" -> (extNdcg _),
     "ext_subsample" -> (extSubsample _),
     "ext_auc" -> (extAuc _),
     "ext_psi" -> (extPsi _),
@@ -404,6 +444,35 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_ndcg" ->
+      """with n as (select vec_id, label, embedding e,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> cast(x as double) * x))) nrm
+        |  from embeddings),
+        |pr as (select vec_id probe_id, label plabel, e pv, nrm pnrm
+        |  from n where vec_id % 97 = 0),
+        |sc as (select probe_id, vec_id, plabel, label,
+        |    round(list_sum(list_transform(n.e,
+        |      (x, i) -> cast(x as double) * pv[i])) / (nrm * pnrm), 4) cos
+        |  from n cross join pr where vec_id <> probe_id),
+        |rk as (select probe_id,
+        |    case when label = plabel then 1.0 else 0.0 end rel,
+        |    row_number() over (partition by probe_id
+        |      order by cos desc, vec_id) rk
+        |  from sc),
+        |d as (select probe_id, sum(rel / log2(rk + 1)) dcg
+        |  from rk where rk <= 10 group by probe_id),
+        |nr as (select probe_id, cast(sum(rel) as bigint) n_rel
+        |  from rk group by probe_id),
+        |id as (select probe_id,
+        |    (select sum(1.0 / log2(i + 1))
+        |     from unnest(range(1, cast(least(n_rel, 10) as bigint) + 1)) u(i))
+        |      idcg
+        |  from nr)
+        |select d.probe_id, round(dcg, 6) dcg, round(idcg, 6) idcg,
+        |  round(dcg / idcg, 6) ndcg
+        |from d join id using(probe_id) order by d.probe_id""".stripMargin,
+
     "ext_subsample" ->
       """with tk as (select doc_id, i - 1 pos, tl[i] tok
         |  from (select doc_id, list_filter(string_split(text, ' '),

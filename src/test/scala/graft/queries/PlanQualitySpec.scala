@@ -135,6 +135,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_rrf",              // inherits ext_bm25's 1-row stats broadcast
       "ext_auc",              // corpus × broadcast(1-row centroid)
       "ext_subsample",        // tokens × broadcast(1-row corpus total)
+      "ext_ndcg",             // corpus × broadcast(6 probes) — the
+                              // ext_embed_topk probe pattern
       "ext_ctfidf")           // tf × broadcast(1-row group count)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
