@@ -107,6 +107,21 @@ object Streams {
     events.join(broadcast(customers),
       events("user_id") === customers("c_custkey"), "inner")
 
+  // ---- ST-15 point-in-time stream enrichment ---------------------------------
+  /** Enrich a stream against an SCD Type-2 dimension (q100's shape):
+    * each event joins the dimension VERSION that was valid at the
+    * event's own time — `valid_from <= ts < valid_to` (open-ended
+    * current version) — never the latest version, which would leak
+    * future attribute values into past events. Stream-static inner
+    * join: the dimension broadcasts, no streaming state at all.
+    */
+  def enrichPointInTime(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+      events("user_id") === dim("dim_user") &&
+        events("ts") >= dim("valid_from") &&
+        (dim("valid_to").isNull || events("ts") < dim("valid_to")),
+      "inner")
+
   // ---- ST-14 streaming drift monitor ----------------------------------------
   /** Binned value counts over a stream (complete mode): the live side
     * of the PSI drift monitor (`ops.Drift`) — the sink always holds the

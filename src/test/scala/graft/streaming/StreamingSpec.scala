@@ -207,6 +207,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.columns.contains("quality") && got.columns.contains("lang_id"))
   }
 
+  test("ST-15 point-in-time enrichment against an SCD2 dimension equals batch; " +
+      "every event gets exactly one version") {
+    // dimension: each user's value history as SCD2 validity intervals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dim_user").orderBy("valid_from", "eid")
+    val dim = batchEvents.filter(col("user_id") <= 30)
+      .select(col("user_id").as("dim_user"), col("ts").as("valid_from"),
+        round(col("value"), 2).as("dim_v"), col("event_id").as("eid"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .drop("eid")
+    val stream = Streams.readEvents(spark, eventsDir)
+      .filter(col("user_id") <= 30)
+    val got = replay(Streams.enrichPointInTime(stream, dim)
+      .select(col("event_id"), col("dim_v")), "append")
+    val expected = Streams.enrichPointInTime(
+        batchEvents.filter(col("user_id") <= 30), dim)
+      .select(col("event_id"), col("dim_v"))
+    assert(canon(got) == canon(expected))
+    // point-in-time correctness: exactly ONE dimension version per event
+    // (intervals partition each user's timeline)
+    val n = batchEvents.filter(col("user_id") <= 30).count()
+    assert(got.count() == n, s"expected $n enriched events, got ${got.count()}")
+  }
+
   test("ST-14 streaming drift histogram: derived PSI equals batch Drift.psiBins") {
     // current slice (odd users) streams; even users are the static
     // reference. The sink's histogram + the reference histogram must
