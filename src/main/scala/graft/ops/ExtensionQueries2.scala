@@ -420,7 +420,45 @@ object ExtensionQueries2 {
       .orderBy("probe_id")
   }
 
+  // ---- E-68 per-class precision / recall / F1 ---------------------------------------
+  // Derived from the E-44 nearest-centroid assignment: tp/fp/fn per
+  // class, then the exact-rational P/R/F1 (integer counts in, so the
+  // only float op is the final division — rounding is decorative).
+  def extF1(s: SparkSession, dir: String): DataFrame = {
+    val dims = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = dims.groupBy(col("label").as("clabel"), col("i"))
+      .agg(avg("x").as("cx"))
+    val assigned = dims.join(broadcast(cent), "i")
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+      .groupBy("vec_id", "label")
+      .agg(expr("min_by(clabel, d2)").as("assigned"))
+    val tp = assigned.filter(col("label") === col("assigned"))
+      .groupBy(col("label").as("cls")).agg(count(lit(1)).as("tp"))
+    val byTrue = assigned.groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("n_true"))
+    val byAssigned = assigned.groupBy(col("assigned").as("cls"))
+      .agg(count(lit(1)).as("n_assigned"))
+    val p = col("tp") / col("n_assigned")
+    val r = col("tp") / col("n_true")
+    byTrue.join(byAssigned, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "n_true", "n_assigned"))
+      .select(col("cls").cast("long").as("cls"), col("tp"),
+        (col("n_assigned") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        round(p, 4).as("prec"), round(r, 4).as("rec"),
+        round(when(p + r === 0.0, lit(null))
+          .otherwise(lit(2.0) * p * r / (p + r)), 4)
+          .as("f1"))
+      .orderBy("cls")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_f1" -> (extF1 _),
     "ext_ndcg" -> (extNdcg _),
     "ext_subsample" -> (extSubsample _),
     "ext_auc" -> (extAuc _),
@@ -444,6 +482,34 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_f1" ->
+      """with dims as (select vec_id, label,
+        |    cast(unnest(embedding) as double) x,
+        |    generate_subscripts(embedding, 1) i from embeddings),
+        |cent as (select label clabel, i, avg(x) cx from dims group by 1, 2),
+        |dist as (select d.vec_id, d.label, c.clabel,
+        |    sum((d.x - c.cx) * (d.x - c.cx)) d2
+        |  from dims d join cent c using(i) group by 1, 2, 3),
+        |a as (select vec_id, label, arg_min(clabel, d2) assigned
+        |  from dist group by 1, 2),
+        |tps as (select label cls, count(*) tp from a
+        |  where label = assigned group by 1),
+        |bt as (select label cls, count(*) n_true from a group by 1),
+        |ba as (select assigned cls, count(*) n_assigned from a group by 1),
+        |m as (select cls,
+        |    coalesce(tp, 0) tp, coalesce(n_true, 0) n_true,
+        |    coalesce(n_assigned, 0) n_assigned
+        |  from bt full outer join ba using(cls) left join tps using(cls))
+        |select cast(cls as bigint) cls, cast(tp as bigint) tp,
+        |  cast(n_assigned - tp as bigint) fp,
+        |  cast(n_true - tp as bigint) fn,
+        |  round(tp / n_assigned, 4) prec,
+        |  round(tp / n_true, 4) rec,
+        |  round(case when tp / n_assigned + tp / n_true = 0 then null
+        |    else 2 * (tp / n_assigned) * (tp / n_true)
+        |         / (tp / n_assigned + tp / n_true) end, 4) f1
+        |from m order by cls""".stripMargin,
+
     "ext_ndcg" ->
       """with n as (select vec_id, label, embedding e,
         |    sqrt(list_sum(list_transform(embedding,
