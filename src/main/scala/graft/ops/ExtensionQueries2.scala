@@ -457,7 +457,33 @@ object ExtensionQueries2 {
       .orderBy("cls")
   }
 
+  // ---- E-69 weighted median --------------------------------------------------------
+  // Volume-weighted median part price (weight = order-line count):
+  // sort by (price, key), running weight window, first row whose
+  // cumulative weight reaches half the total. The plain median ignores
+  // that some parts sell constantly and some never — the weighted one
+  // is the distribution actually transacted.
+  def extWMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("wt"))
+    val priced = t(s, dir, "part").join(w, "p_partkey")
+    val ord = Window.orderBy("p_retailprice", "p_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    priced
+      .withColumn("cumw", sum("wt").over(ord))
+      .withColumn("totw", sum("wt").over(tot))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .sort("p_retailprice", "p_partkey")
+      .limit(1)
+      .select(col("totw").as("total_w"),
+        round(col("p_retailprice"), 2).as("wmedian"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_wmedian" -> (extWMedian _),
     "ext_f1" -> (extF1 _),
     "ext_ndcg" -> (extNdcg _),
     "ext_subsample" -> (extSubsample _),
@@ -482,6 +508,21 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ext_wmedian" ->
+      """with w as (select l_partkey p_partkey, count(*) wt
+        |  from lineitem group by 1),
+        |p as (select p_retailprice, part.p_partkey, wt
+        |  from part join w using(p_partkey)),
+        |c as (select p_retailprice, p_partkey, wt,
+        |    sum(wt) over (order by p_retailprice, p_partkey
+        |      rows unbounded preceding) cumw,
+        |    sum(wt) over () totw
+        |  from p)
+        |select cast(totw as bigint) total_w,
+        |  round(p_retailprice, 2) wmedian
+        |from c where cumw * 2 >= totw
+        |order by p_retailprice, p_partkey limit 1""".stripMargin,
+
     "ext_f1" ->
       """with dims as (select vec_id, label,
         |    cast(unnest(embedding) as double) x,
