@@ -650,9 +650,14 @@ object ExtensionQueries {
       .limit(50)
 
   // ---- E-29 int8 embedding quantization ----------------------------------
+  // Codes are rendered as a comma-joined string (not an ARRAY column):
+  // the driver's pandas canonicalizer cannot sort/hash numpy arrays, and a
+  // scalar contract column is engine-portable. The typed Array[Byte]-shaped
+  // API stays available via Quantize.quantize directly.
   def extQuantize(s: SparkSession, dir: String): DataFrame =
     Quantize.quantize(t(s, dir, "embeddings"))
-      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"), col("codes"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        concat_ws(",", col("codes")).as("codes"))
       .orderBy("vec_id")
       .limit(50)
 
@@ -861,8 +866,8 @@ object ExtensionQueries {
       """with e as (select vec_id, cast(embedding as double[]) v from embeddings),
         |s as (select vec_id, list_max(list_transform(v, x -> abs(x))) sc, v from e)
         |select vec_id, round(sc, 6) scale_r,
-        |  list_transform(v, x -> case when sc = 0 then 0
-        |    else cast(greatest(-127.0, least(127.0, floor(x * 127 / sc + 0.5))) as int) end) codes
+        |  coalesce(array_to_string(list_transform(v, x -> case when sc = 0 then 0
+        |    else cast(greatest(-127.0, least(127.0, floor(x * 127 / sc + 0.5))) as int) end), ','), '') codes
         |from s order by vec_id limit 50""".stripMargin,
 
     "ext_lm2_score" ->
@@ -1158,7 +1163,8 @@ object ExtensionQueries {
         |  from documents),
         |c as (select doc_id, n, coalesce(sum(n) over (order by doc_id
         |  rows between unbounded preceding and 1 preceding), 0) cb from d)
-        |select cb // 2048 bin, count(*) n_docs, sum(n) bin_tokens,
+        |select cast(cb // 2048 as bigint) bin, count(*) n_docs,
+        |  cast(sum(n) as bigint) bin_tokens,
         |  min(doc_id) first_doc, max(doc_id) last_doc
         |from c group by 1 order by 1""".stripMargin,
 
