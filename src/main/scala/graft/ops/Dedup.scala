@@ -319,13 +319,31 @@ object Dedup {
     * Two shuffles on doc_id, both with map-side partial aggregation.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    simhashFrom(docs, idCol, textCol, xxhash64(col("t")), nBits = 64)
+
+  /** Engine-portable SimHash (contract variant): the token hash is the
+    * first 15 hex chars (60 bits, always positive) of sha256 — which
+    * DuckDB computes identically (`('0x'||substr(sha256(t),1,15))::bigint`)
+    * — fed through the same bit-vote formulation. Production
+    * fingerprints use xxhash64 ([[simhash]]/[[simhashNative]]); this
+    * variant exists so the driver's DuckDB oracle can recompute the
+    * END-TO-END near-dup pipeline (fingerprint → Hamming candidates →
+    * exact recheck) bit-for-bit, which no opaque-hash fingerprint allows.
+    */
+  def simhashPortable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simhashFrom(docs, idCol, textCol,
+      conv(substring(sha2(col("t"), 256), 1, 15), 16, 10).cast("long"), nBits = 60)
+
+  private def simhashFrom(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column, nBits: Int): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(filter(split(col(textCol), " "), t => t =!= "")).as("t"))
       .groupBy(idCol, "t")
       .agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("t")))
-    tf.select(col(idCol), explode(sequence(lit(0), lit(63))).as("k"),
+      .withColumn("th", tokenHash)
+    tf.select(col(idCol), explode(sequence(lit(0), lit(nBits - 1))).as("k"),
         col("tf"), col("th"))
       .withColumn("vote",
         col("tf") * (call_function("shiftright", col("th"), col("k").cast("int")).bitwiseAND(lit(1L)) * 2 - 1))

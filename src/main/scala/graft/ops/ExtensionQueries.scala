@@ -72,10 +72,19 @@ object ExtensionQueries {
       .limit(50)
   }
 
+  // Contract variant runs on PORTABLE fingerprints (sha256-derived
+  // 60-bit token hashes, identical in DuckDB), so the oracle recomputes
+  // the WHOLE pipeline — fingerprint, pigeonhole segment candidates,
+  // exact-Jaccard recheck — instead of the old rows-only check. SimHash
+  // candidate recall is genuinely approximate (a jac=1.0 pair with
+  // different term counts can sit at Hamming>12), so an all-pairs
+  // Jaccard oracle can NOT gate it; recomputing the fingerprints is the
+  // only exact contract. Production keeps the xxhash64 native path
+  // (simhashNative, property-pinned bit-equal to the relational spec).
   def extSimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val cands = Dedup.simhashCandidatesSegmented(
-        Dedup.simhashNative(docs), maxHamming = 12)
+        Dedup.simhashPortable(docs), maxHamming = 12)
       .select(col("id_a"), col("id_b"))
     rechecked(docs, cands)
   }
@@ -160,9 +169,10 @@ object ExtensionQueries {
 
   // ---- ANN via hyperplane LSH (E-7) --------------------------------------
   // Approximate by construction (multi-probe segment join, Hamming
-  // radius 3 over 16-bit sign codes), so NO DuckDB oracle — the driver
-  // records the rows-only check; recall vs brute force is spec-gated in
-  // SimilaritySpec on planted clusters.
+  // radius 3 over 16-bit sign codes), so no exact DuckDB oracle exists.
+  // Not in the driver contract map — E-7's driver gate is the hash-green
+  // ext_ann_recall below; recall vs brute force is additionally
+  // spec-gated in SimilaritySpec on planted clusters.
   def extAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), dim = 64, k = 5)
@@ -767,7 +777,11 @@ object ExtensionQueries {
     "ext_sim_pairs" -> (extSimPairs _),
     "ext_sim_pairs_allpairs" -> (extSimPairsAllPairs _),
     "ext_ivf_topk" -> (extIvfTopK _),
-    "ext_ann_topk" -> (extAnnTopK _),
+    // ext_ann_topk (multi-probe LSH) is intentionally NOT a driver row:
+    // its candidate set is approximate by construction (r03 recorded 24
+    // rows vs brute force's 25), so no exact oracle exists. Its driver
+    // gate is ext_ann_recall (hash-green planted-probe recall = 1.0);
+    // data-dependent recall stays property-gated in SimilaritySpec.
     "ext_ann_recall" -> (extAnnRecall _),
     "ext_salted_join" -> (extSaltedJoin _),
     "ext_langid" -> (extLangId _),
@@ -1104,11 +1118,36 @@ object ExtensionQueries {
         |from h join k using(h) order by doc_id limit 50""".stripMargin,
 
     "ext_minhash_neardup" -> q24Sql,
-    // ext_simhash_neardup has NO oracle: SimHash is inherently
-    // approximate (hamming<=12 at 64 bits cannot guarantee recall 1.0 on
-    // tf-noisy near-dups), so the driver records the weaker rows-only
-    // check; precision and the segmented-join equivalence are
-    // property-tested in DedupSpec.
+
+    // SimHash candidate recall is genuinely approximate, so the exact
+    // all-pairs Jaccard graph cannot gate it; instead the oracle
+    // RECOMPUTES the portable fingerprints (sha256-derived 60-bit token
+    // hashes, same bit-vote spec) and replays the identical pipeline:
+    // Hamming<=12 candidates -> exact-Jaccard recheck -> ranked pairs.
+    "ext_simhash_neardup" ->
+      """with tok as (select doc_id, t, count(*) tf from (
+        |    select doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) t
+        |    from documents) group by doc_id, t),
+        |th as (select doc_id, tf, ('0x' || substr(sha256(t),1,15))::bigint h from tok),
+        |bits as (select doc_id, k, sum(tf * (((h >> k) & 1) * 2 - 1)) v
+        |  from th cross join (select unnest(generate_series(0,59)) k) ks
+        |  group by doc_id, k),
+        |fp as (select doc_id, cast(sum(case when v > 0 then 1::bigint << k else 0 end) as bigint) f
+        |  from bits group by doc_id),
+        |t as (select doc_id, list_distinct(string_split(text,' ')) s,
+        |  len(string_split(text,' ')) n from documents),
+        |cand as (select a.doc_id da, b.doc_id db, a.s sa, b.s sb
+        |  from t a join t b on a.doc_id < b.doc_id and abs(a.n - b.n) <= 1
+        |    and (a.n >= 30 or b.n >= 30)
+        |  join fp fa on fa.doc_id = a.doc_id
+        |  join fp fb on fb.doc_id = b.doc_id
+        |  where bit_count(xor(fa.f, fb.f)) <= 12)
+        |select da, db, round(cast(len(list_intersect(sa,sb)) as double)
+        |    /len(list_distinct(list_concat(sa,sb))),4) jac
+        |from cand
+        |where cast(len(list_intersect(sa,sb)) as double)
+        |    /len(list_distinct(list_concat(sa,sb))) >= 0.5
+        |order by jac desc, da, db limit 50""".stripMargin,
 
     "ext_ngram_neardup" ->
       """with d as (select doc_id,
@@ -1180,7 +1219,8 @@ object ExtensionQueries {
     "ext_sim_pairs_allpairs" -> simPairsSql,
 
     "ext_ivf_topk" -> embedTopKSql,
-    // ext_ann_topk has NO oracle (approximate; see the query's comment).
+    // ext_ann_topk is not a driver row (approximate; its gate is
+    // ext_ann_recall — see the query's comment).
 
     // Pinned planted-probe recall contract: both ANN paths must achieve
     // measured recall 1.0 on exact-copy probes (see extAnnRecall's

@@ -20,11 +20,12 @@ class ContractQueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("every query has oracle SQL or is explicitly non-SQL") {
-    // Approximate-by-design ops whose outputs depend on engine-internal
-    // hashes get the driver's rows-only check instead of a DuckDB oracle.
-    val rowsOnly = Set("ext_simhash_neardup", "ext_ann_topk")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has oracle SQL") {
+    // Round-4 invariant: zero rows-only queries. Approximate-by-design
+    // ops either gained an engine-portable oracle (ext_simhash_neardup)
+    // or are gated through a hashable derived contract (ext_ann_recall
+    // for the LSH path, which is not itself a driver row).
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 }
