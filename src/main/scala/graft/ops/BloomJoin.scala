@@ -85,7 +85,11 @@ object BloomJoin {
     * rows.
     */
   def join(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
-      expectedItems: Long = 1000000L): DataFrame =
-    prefilter(fact, factKey, dim, dimKey, expectedItems)
-      .join(dim, col(factKey) === col(dimKey))
+      expectedItems: Long = 1000000L): DataFrame = {
+    // Qualify through the DataFrame references: bare col(factKey) ===
+    // col(dimKey) is ambiguous (or a degenerate self-compare) whenever
+    // the two frames share the key column name.
+    val pre = prefilter(fact, factKey, dim, dimKey, expectedItems)
+    pre.join(dim, pre(factKey) === dim(dimKey))
+  }
 }

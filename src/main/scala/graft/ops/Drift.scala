@@ -26,7 +26,12 @@ object Drift {
     */
   def psiBins(df: DataFrame, value: Column, isRef: Column,
       binWidth: Double, nBins: Int): DataFrame = {
-    val bin = least(floor(value / binWidth), lit(nBins - 1)).cast("int")
+    // Clamp BOTH ends: without the greatest(), a negative value would
+    // land in a bin < 0 that silently sits outside the declared
+    // [0, nBins) histogram while the smoothing denominator still
+    // assumes nBins bins.
+    val bin = greatest(least(floor(value / binWidth), lit(nBins - 1)), lit(0))
+      .cast("int")
     val w = Window.partitionBy()
     df.select(bin.as("bin"), isRef.as("ref"))
       .groupBy("bin")

@@ -1249,14 +1249,16 @@ object ExtensionQueries {
         |  cast(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) as double) nalnum
         |  from documents)
         |select doc_id, cast(nt as bigint) n_tokens,
-        |  round((nc - (nt - 1)) / nt, 4) mean_tok_len,
-        |  round(nstop / nt, 4) stop_ratio,
-        |  round(nd / nt, 4) distinct_ratio,
-        |  round(nalnum / nc, 4) alnum_ratio,
-        |  round(least(cast(1.0 as double), nt / cast(100.0 as double)) * cast(0.4 as double)
+        |  round(case when nt > 0 then (nc - (nt - 1)) / nt else 0 end, 4) mean_tok_len,
+        |  round(case when nt > 0 then nstop / nt else 0 end, 4) stop_ratio,
+        |  round(case when nt > 0 then nd / nt else 0 end, 4) distinct_ratio,
+        |  round(case when nc > 0 then nalnum / nc else 0 end, 4) alnum_ratio,
+        |  round(case when nt > 0 then
+        |    least(cast(1.0 as double), nt / cast(100.0 as double)) * cast(0.4 as double)
         |    + (nd / nt) * cast(0.3 as double)
         |    + (cast(1.0 as double) - nstop / nt) * cast(0.2 as double)
-        |    + (nalnum / nc) * cast(0.1 as double), 4) quality
+        |    + (case when nc > 0 then nalnum / nc else 0 end) * cast(0.1 as double)
+        |  else 0 end, 4) quality
         |from f order by doc_id limit 100""".stripMargin,
 
     "ext_tokcount" ->

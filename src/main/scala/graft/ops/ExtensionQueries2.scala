@@ -158,19 +158,21 @@ object ExtensionQueries2 {
   }
 
   // ---- E-56 sparse TF-IDF cosine pairs -----------------------------------------
-  // TF-IDF all-pairs similarity. The production path here is the DENSE
-  // block-pair formulation: this fixture's 31-token vocabulary is the
-  // inverted index's worst case (every doc shares most tokens → the
-  // candidate set is all pairs AND the token join has 31 keys —
-  // parallelism collapses; PerfLab measured 125 s vs ~2 s at sf0.1).
-  // SparseCosine.similarPairs remains the Zipfian-vocabulary path,
-  // spec-equal on this corpus. The op's raw-cosine threshold is a
-  // coarse prefilter (0.85); the DECISIVE filter runs on the rounded
-  // value (>= 0.9) in both engines, so last-ulp summation noise can
-  // never flip a boundary pair.
+  // TF-IDF all-pairs similarity via SparseCosine.autoPairs, which
+  // MEASURES the post-cap vocabulary and picks the geometry: this
+  // fixture's 31-token vocabulary is the inverted index's worst case
+  // (every doc shares most tokens → candidates are all pairs and the
+  // token join has 31 keys; PerfLab measured 125 s vs ~2 s at sf0.1),
+  // so the dense block-pair path is selected here — a Zipfian 100×
+  // corpus flips to the posting-list join automatically instead of
+  // silently running the O(n²/B) dense shape. Both geometries are
+  // property-pinned equal, so the oracle is path-independent. The op's
+  // raw-cosine threshold is a coarse prefilter (0.85); the DECISIVE
+  // filter runs on the rounded value (>= 0.9) in both engines, so
+  // last-ulp summation noise can never flip a boundary pair.
   def extSparseCos(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    graft.text.SparseCosine.densePairs(docs,
+    graft.text.SparseCosine.autoPairs(docs,
         dfCap = Long.MaxValue, minCos = 0.85)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .filter(col("cos") >= 0.9)
@@ -626,7 +628,7 @@ object ExtensionQueries2 {
       """with f as (select o_totalprice x, year(o_orderdate) <= 1994 is_ref
         |  from orders
         |  where year(o_orderdate) <= 1994 or year(o_orderdate) >= 1996),
-        |c as (select cast(least(floor(x / 50000), 9) as bigint) bin,
+        |c as (select cast(greatest(least(floor(x / 50000), 9), 0) as bigint) bin,
         |    cast(sum(case when is_ref then 1 else 0 end) as bigint) c_ref,
         |    cast(sum(case when is_ref then 0 else 1 end) as bigint) c_cur
         |  from f group by 1),

@@ -108,21 +108,26 @@ class CorpusPipeline(
       (p, n)
     }
 
+    // Both optional text filters drop via ANTI-join on the FAILING set,
+    // not semi-join on the passing set: repetitionSignals produces no
+    // row for docs with <3 tokens (no trigram exists) and
+    // unigramLogScore none for empty-text docs — a missing signal must
+    // mean "nothing to measure, passes", not silent data loss.
     val (repKept, afterRep) = maxDup3Frac match {
       case Some(maxR) =>
-        val keep = TextAnalysis.repetitionSignals(scored, idCol, textCol)
-          .filter(col("dup3_frac") <= maxR)
+        val drop = TextAnalysis.repetitionSignals(scored, idCol, textCol)
+          .filter(col("dup3_frac") > maxR)
           .select(idCol)
-        step(scored, scored.join(keep, Seq(idCol), "left_semi"))
+        step(scored, scored.join(drop, Seq(idCol), "left_anti"))
       case None => (scored, afterQuality)
     }
 
     val (lmKept, afterLm) = maxLmScore match {
       case Some(maxS) =>
-        val keep = TextAnalysis.unigramLogScore(repKept, idCol, textCol)
-          .filter(col("lm_score") <= maxS)
+        val drop = TextAnalysis.unigramLogScore(repKept, idCol, textCol)
+          .filter(col("lm_score") > maxS)
           .select(idCol)
-        step(repKept, repKept.join(keep, Seq(idCol), "left_semi"))
+        step(repKept, repKept.join(drop, Seq(idCol), "left_anti"))
       case None => (repKept, afterRep)
     }
 

@@ -36,8 +36,14 @@ object Compaction {
     val tmp = new Path(dir + ".compact")
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
+    // Swap via rename-aside, not delete-then-rename: a crash between the
+    // two renames leaves the data findable at dir+".old" (or already in
+    // place), never a window where NO copy exists at/near the table path.
+    val old = new Path(dir + ".old")
+    fs.delete(old, true) // leftover from a previous crashed swap
+    fs.rename(path, old)
     fs.rename(tmp, path)
+    fs.delete(old, true)
     (before.length, dataFiles(path).length)
   }
 }

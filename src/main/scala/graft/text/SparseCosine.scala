@@ -25,6 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object SparseCosine {
 
+  /** Geometry auto-selection between [[densePairs]] and
+    * [[similarPairs]] — both compute the SAME TF-IDF cosine for a given
+    * dfCap, so the choice is purely physical. One cheap map-side-
+    * combined aggregation measures the post-cap vocabulary size:
+    * a small vocabulary (≤ denseVocabMax) is the inverted index's worst
+    * case (candidates degenerate to all pairs and the token join has
+    * |vocab| keys — measured 125 s vs 5.7 s at sf0.1), so it takes the
+    * block-pair dense path; a large (Zipfian) vocabulary takes the
+    * posting-list join, whose fanout dfCap bounds. At 100 TB pass a
+    * finite dfCap: stopword postings are quadratic poison in ANY
+    * geometry, carry near-zero idf, and pruning them is mirrored in the
+    * oracle. The decision agg costs one pass over (doc, token) pairs —
+    * noise next to the pair join it sizes.
+    */
+  def autoPairs(docs: DataFrame, dfCap: Long, minCos: Double,
+      denseVocabMax: Int = 256, nBlocks: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val vocabSize = docs
+      .select(col(idCol).as("id"),
+        explode(filter(split(col(textCol), " "), t => t =!= "")).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .count()
+    if (vocabSize <= denseVocabMax)
+      densePairs(docs, dfCap, minCos, nBlocks, idCol, textCol)
+    else similarPairs(docs, dfCap, minCos, idCol, textCol)
+  }
+
   /** Document pairs with TF-IDF cosine ≥ minCos: (id_a, id_b, cos),
     * id_a < id_b.
     */

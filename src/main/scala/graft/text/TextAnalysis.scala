@@ -58,22 +58,29 @@ object TextAnalysis {
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")
     val nTok = size(toks).cast("double")
-    val stopRatio = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
-      .cast("double") / nTok
-    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
-    val meanTokLen = (length(col(textCol)) - (nTok - 1)) / nTok
-    val alnumRatio = length(regexp_replace(col(textCol), "[^a-z0-9]", ""))
-      .cast("double") / length(col(textCol))
+    // Empty/token-less docs define every ratio as 0 and quality as 0
+    // (not null, not a DIVIDE_BY_ZERO crash under ANSI mode) — they then
+    // pass a minQuality=0 funnel and are cut by any positive threshold.
+    def per(num: Column, den: Column): Column =
+      when(den > 0, num / den).otherwise(lit(0.0))
+    val stopRatio = per(
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double"), nTok)
+    val distinctRatio = per(size(array_distinct(toks)).cast("double"), nTok)
+    val meanTokLen = per(length(col(textCol)) - (nTok - 1), nTok)
+    val alnumRatio = per(
+      length(regexp_replace(col(textCol), "[^a-z0-9]", "")).cast("double"),
+      length(col(textCol)).cast("double"))
     df.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_tok_len", round(meanTokLen, 4))
       .withColumn("stop_ratio", round(stopRatio, 4))
       .withColumn("distinct_ratio", round(distinctRatio, 4))
       .withColumn("alnum_ratio", round(alnumRatio, 4))
       .withColumn("quality",
-        round(least(lit(1.0), nTok / 100.0) * 0.4
-          + distinctRatio * 0.3
-          + (lit(1.0) - stopRatio) * 0.2
-          + alnumRatio * 0.1, 4))
+        round(when(nTok > 0,
+          least(lit(1.0), nTok / 100.0) * 0.4
+            + distinctRatio * 0.3
+            + (lit(1.0) - stopRatio) * 0.2
+            + alnumRatio * 0.1).otherwise(lit(0.0)), 4))
   }
 
   // ------------------------------------------------------ token counting

@@ -107,6 +107,24 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet.contains(99L))
   }
 
+  test("docs too short to signal survive the repetition and LM filters") {
+    import spark.implicits._
+    // doc 1 has <3 tokens (no trigram -> no repetitionSignals row);
+    // doc 2 is empty after tokenization (no unigramLogScore row). A
+    // missing signal means "nothing to measure", never silent data loss.
+    val crafted = Seq(
+      (1L, "two words"),
+      (2L, ""),
+      (3L, "a normal document with plenty of distinct tokens inside it"))
+      .toDF("doc_id", "text")
+    val (out, r) = new CorpusPipeline(
+      maxDup3Frac = Some(0.5), maxLmScore = Some(1e9)).run(crafted)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L),
+      s"short/empty docs must pass signal-less filter stages, got $kept")
+    assert(r.afterRepetition == 3 && r.afterLm == 3)
+  }
+
   test("decontamination drops docs overlapping the eval corpus and only them") {
     import spark.implicits._
     val train = Seq(

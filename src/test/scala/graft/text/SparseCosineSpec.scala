@@ -35,6 +35,27 @@ class SparseCosineSpec extends AnyFunSuite with SparkFixture {
     assert(dense.nonEmpty)
   }
 
+  test("autoPairs picks dense on the small-vocab fixture, sparse past the threshold, equal results") {
+    import org.apache.spark.sql.functions.{col, round}
+    val docs = graft.Tables.table(spark, sf0001, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), round(col("cos"), 4).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    // fixture vocab (31 tokens) <= default threshold -> dense geometry,
+    // visible in the plan as the codegen'd cosine_sim block-pair join
+    val auto = SparseCosine.autoPairs(docs, Long.MaxValue, 0.5)
+    assert(auto.queryExecution.analyzed.toString.contains("cosine_sim"),
+      "expected the dense block-pair path on a 31-token vocabulary")
+    assert(canon(auto) == canon(SparseCosine.similarPairs(docs, Long.MaxValue, 0.5)))
+    // forcing the threshold below the vocab flips to the posting-list
+    // join (no cosine_sim in that plan) with the same result
+    val sparse = SparseCosine.autoPairs(docs, Long.MaxValue, 0.5, denseVocabMax = 0)
+    assert(!sparse.queryExecution.analyzed.toString.contains("cosine_sim"),
+      "expected the posting-list path when vocab exceeds denseVocabMax")
+    assert(canon(sparse) == canon(auto))
+  }
+
   test("dfCap prunes stopword-like tokens from index AND norms") {
     import spark.implicits._
     // "common" is in all three docs (df=3); A/B also share "rare"
