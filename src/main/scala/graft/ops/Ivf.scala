@@ -76,14 +76,54 @@ object Ivf {
           .as("cid"),
         first("embedding").as("embedding"))
 
+  /** A trained IVF index: the coarse quantizer's centroids and the
+    * inverted lists (corpus rows + their `cid`). Both are plain
+    * DataFrames, so the index persists as two parquet datasets — lists
+    * partitioned BY `cid`, which at scale IS the index layout: each
+    * inverted list is a filesystem partition, and a probe reading
+    * `nProbe` lists touches exactly those directories.
+    */
+  final case class IvfIndex(centroids: DataFrame, lists: DataFrame)
+
+  /** Train the quantizer and materialize the inverted lists. */
+  def buildIndex(corpus: DataFrame, kCentroids: Int, iters: Int = 3,
+      seed: Long = 42L): IvfIndex = {
+    val centroids = trainCentroids(corpus, kCentroids, iters, seed)
+    IvfIndex(centroids, assign(corpus, centroids))
+  }
+
+  /** Persist an index: `<path>/centroids` + `<path>/lists` (parquet,
+    * lists partitioned by cid). Like GloveModel.save, overwrite-mode —
+    * the index is derived data, rebuildable from the corpus.
+    */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.lists.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/lists")
+  }
+
+  /** Load a persisted index. Search-after-load ≡ search-before-save is
+    * property-pinned in IvfSpec (the quantizer is deterministic and the
+    * lists round-trip bit-exactly).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/lists"))
+
   /** Approximate cosine top-k: each probe searches its nProbe nearest
     * centroid lists only.
     */
   def topK(corpus: DataFrame, probes: DataFrame, k: Int, kCentroids: Int,
-      nProbe: Int, iters: Int = 3, seed: Long = 42L): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
-    val centroids = trainCentroids(corpus, kCentroids, iters, seed)
-    val lists = assign(corpus, centroids)
+      nProbe: Int, iters: Int = 3, seed: Long = 42L): DataFrame =
+    search(buildIndex(corpus, kCentroids, iters, seed), probes, k, nProbe)
+
+  /** Search a (possibly loaded) index. */
+  def search(index: IvfIndex, probes: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    GraftFunctions.register(probes.sparkSession)
+    val centroids = index.centroids
+    val lists = index.lists
 
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(asc("d"), asc("cid"))

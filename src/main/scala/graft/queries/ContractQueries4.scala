@@ -458,6 +458,41 @@ object ContractQueries4 {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // ---- Q110 SQL MERGE INTO a managed table (OP-MERGE) ------------------------
+  // Lakehouse-SQL's front door, next to q83's CTAS/INSERT: a customer
+  // snapshot becomes a managed catalog table, a MERGE applies the
+  // latest order total per customer (update), synthetic keys above the
+  // customer key space (insert), and untouched customers pass through
+  // (keep) — sources.SqlMerge is the copy-on-write rewrite of MERGE
+  // INTO for plain-parquet tables. The oracle replays the identical
+  // merge relationally in DuckDB; the read-back goes through the
+  // catalog, so the gate covers the overwrite commit too. Output
+  // orders inserts first so all three dispositions are visible in the
+  // 100-row sample.
+  def q110Merge(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.SqlMerge.dropManaged(s, "graft_merge_tgt")
+    t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("bal"),
+        lit("K").as("op"))
+      .createOrReplaceTempView("graft_merge_snap")
+    s.sql("""CREATE TABLE graft_merge_tgt USING parquet AS
+             SELECT * FROM graft_merge_snap""")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val upd = t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("k"), round(col("o_totalprice"), 2).as("bal"))
+    val ins = t(s, dir, "nation")
+      .select((col("n_nationkey") + lit(10000000L)).as("k"),
+        round(col("n_nationkey") + lit(100.0), 2).as("bal"))
+    upd.unionByName(ins).createOrReplaceTempView("graft_merge_upd")
+    graft.sources.SqlMerge.mergeInto(s, "graft_merge_tgt", "graft_merge_upd",
+      "k", Seq("bal"), opColumn = Some("op"))
+    s.sql("""SELECT k, bal, op FROM graft_merge_tgt
+             ORDER BY CASE op WHEN 'I' THEN 0 ELSE 1 END, k LIMIT 100""")
+  }
+
   /** Round-3 batch-3 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_regr" -> (q85Regr _),
@@ -484,5 +519,6 @@ object ContractQueries4 {
     "q106_corrscalar" -> (q106CorrScalar _),
     "q107_filter" -> (q107Filter _),
     "q108_encoding" -> (q108Encoding _),
-    "q109_aggmisc" -> (q109AggMisc _))
+    "q109_aggmisc" -> (q109AggMisc _),
+    "q110_merge" -> (q110Merge _))
 }

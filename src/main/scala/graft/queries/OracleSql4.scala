@@ -236,5 +236,27 @@ object OracleSql4 {
         |  round(avg(cast(l_quantity as double)), 4) avg_qty,
         |  count(*) n
         |from lineitem where l_orderkey <= 200
-        |group by l_returnflag order by l_returnflag""".stripMargin)
+        |group by l_returnflag order by l_returnflag""".stripMargin,
+
+    // q110: the ENTIRE merge replayed relationally — snapshot, latest
+    // update per key, synthetic inserts, full-outer disposition — so
+    // the oracle is independent of the catalog/INSERT OVERWRITE
+    // machinery it gates.
+    "q110_merge" ->
+      """with tgt as (select c_custkey k, round(c_acctbal, 2) bal from customer),
+        |upd as (select k, bal from (
+        |    select o_custkey k, round(o_totalprice, 2) bal,
+        |      row_number() over (partition by o_custkey
+        |        order by o_orderdate desc, o_orderkey desc) rn
+        |    from orders) where rn = 1),
+        |ins as (select cast(10000000 + n_nationkey as bigint) k,
+        |    round(100.0 + n_nationkey, 2) bal from nation),
+        |src as (select * from upd union all select * from ins),
+        |m as (select coalesce(t.k, s.k) k,
+        |    case when s.k is not null then s.bal else t.bal end bal,
+        |    case when t.k is null then 'I' when s.k is null then 'K'
+        |      else 'U' end op
+        |  from tgt t full outer join src s on t.k = s.k)
+        |select cast(k as bigint) k, cast(bal as double) bal, op from m
+        |order by case op when 'I' then 0 else 1 end, k limit 100""".stripMargin)
 }

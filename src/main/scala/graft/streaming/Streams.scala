@@ -174,13 +174,20 @@ object Streams {
         col("vts") >= col("cts") - expr(s"interval $windowBack") &&
         col("vts") <= col("cts"),
         joinType)
-    // outer variants keep cts so callers can reason about the
-    // watermark-withheld tail; the inner contract is unchanged
-    if (joinType == "inner")
-      joined.select(col("click_id"), col("view_id"), col("cu").as("user_id"))
-    else
-      joined.select(col("click_id"), col("view_id"), col("cu").as("user_id"),
-        col("cts"))
+    // outer variants keep the event times so callers can reason about
+    // the watermark-withheld tail; the inner contract is unchanged.
+    // full_outer additionally null-extends the CLICK side, so user_id
+    // must coalesce across both key columns.
+    joinType match {
+      case "inner" =>
+        joined.select(col("click_id"), col("view_id"), col("cu").as("user_id"))
+      case "full_outer" =>
+        joined.select(col("click_id"), col("view_id"),
+          coalesce(col("cu"), col("vu")).as("user_id"), col("cts"), col("vts"))
+      case _ =>
+        joined.select(col("click_id"), col("view_id"), col("cu").as("user_id"),
+          col("cts"))
+    }
   }
 
   // ---- ST-12 stream-stream LEFT OUTER interval join ----------------------
@@ -195,6 +202,19 @@ object Streams {
   def clickViewLeftOuter(events: DataFrame, watermark: String = "10 minutes",
       windowBack: String = "30 minutes"): DataFrame =
     clickViewJoin(events, watermark, windowBack, "left_outer")
+
+  // ---- ST-16 stream-stream FULL OUTER interval join ----------------------
+  /** Same join, full outer: completes the ST join family (inner ST-8,
+    * left ST-12). A click with no qualifying view AND a view no click
+    * ever referenced each emit one null-extended row — each only once
+    * its own side's watermark proves no counterpart can still arrive.
+    * Both sides therefore carry a withheld tail at stream end (rows
+    * younger than final watermark − window stay buffered), which the
+    * ST-16 replay bounds against the batch full-outer join.
+    */
+  def clickViewFullOuter(events: DataFrame, watermark: String = "10 minutes",
+      windowBack: String = "30 minutes"): DataFrame =
+    clickViewJoin(events, watermark, windowBack, "full_outer")
 
   // ---- ST-7 arbitrary stateful processing --------------------------------
   case class UserSessState(lastTs: Long, nSessions: Long, nEvents: Long)

@@ -36,6 +36,25 @@ class IvfSpec extends AnyFunSuite with SparkFixture {
     assert(assigned.select("vec_id").distinct().count() == clustered.count())
   }
 
+  test("index save/load round-trip: search-after-load equals search-before") {
+    val probes = clustered.filter(col("vec_id") % 7 === 0)
+    val index = Ivf.buildIndex(clustered, kCentroids = 12, iters = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._4)).toSeq
+    val before = canon(Ivf.search(index, probes, k = 3, nProbe = 3))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Ivf.save(index, dir)
+    val loaded = Ivf.load(spark, dir)
+    // the persisted layout is the index structure itself: one
+    // filesystem partition per inverted list
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(listDirs.size == index.lists.select("cid").distinct().count())
+    val after = canon(Ivf.search(loaded, probes, k = 3, nProbe = 3))
+    assert(before.nonEmpty && before == after)
+  }
+
   test("IVF top-k: high recall vs brute force on clustered vectors") {
     val probes = clustered.filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(clustered, probes, k = 3).collect()

@@ -400,6 +400,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"old unmatched click never flushed: $heldBack")
   }
 
+  test("ST-16 full-outer interval join: both null-extended sides match batch " +
+      "on the watermark-safe prefix; young unmatched rows stay withheld") {
+    val stream = Streams.clickViewFullOuter(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream, "append")
+    val batchFull = {
+      val clicks = batchEvents.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts").as("cts"))
+      val views = batchEvents.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+          col("ts").as("vts"))
+      clicks.join(views,
+          col("cu") === col("vu") &&
+          col("vts") >= col("cts") - expr("interval 30 minutes") &&
+          col("vts") <= col("cts"), "full_outer")
+        .select(col("click_id"), col("view_id"),
+          coalesce(col("cu"), col("vu")).as("user_id"), col("cts"), col("vts"))
+    }
+    // matched rows agree EXACTLY on the full stream (matches are never
+    // withheld once both inputs are consumed)
+    assert(canon(got.filter(col("click_id").isNotNull && col("view_id").isNotNull)) ==
+      canon(batchFull.filter(col("click_id").isNotNull && col("view_id").isNotNull)))
+    // each outer side independently: no spurious nulls (every emission
+    // is a true batch non-match) and a ≥80% flush — the withheld tail is
+    // inherent (rows younger than final watermark − window stay
+    // buffered), so it is bounded, not pinned, same discipline as ST-12.
+    def side(unmatchedOf: String): (Set[Seq[Any]], Set[Seq[Any]]) = {
+      val pred = col(unmatchedOf).isNull
+      (canon(got.filter(pred)).toSet, canon(batchFull.filter(pred)).toSet)
+    }
+    for (nullSide <- Seq("view_id", "click_id")) {
+      val (gotNulls, expNulls) = side(nullSide)
+      assert(gotNulls.nonEmpty, s"$nullSide outer semantics not exercised")
+      assert(gotNulls.subsetOf(expNulls),
+        s"stream emitted a null-$nullSide row the batch full join matches")
+      assert(gotNulls.size >= (expNulls.size * 8) / 10,
+        s"too many withheld null-$nullSide rows: ${gotNulls.size} of ${expNulls.size}")
+    }
+  }
+
   test("ST-7 flatMapGroupsWithState sessionization equals Q25") {
     val stream = Streams.statefulSessionCounts(Streams.readEvents(spark, eventsDir))
     val got = replay(stream.toDF(), "update")
