@@ -43,4 +43,40 @@ object Drift {
         (col("c_cur") + 1) / (sum("c_cur").over(w) + nBins))
       .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic (E-71) — the bin-free
+    * complement to [[psiBins]]: D = max_x |F_ref(x) − F_cur(x)| over
+    * the empirical CDFs. Computed relationally and tie-safely: group by
+    * distinct value first (so a value's whole tie block enters both
+    * ECDFs at once), then one ordered cumulative-sum window over the
+    * distinct values, then an argmax. The argmax row is pinned
+    * deterministic by ranking on the ROUNDED gap with the value as
+    * tiebreak.
+    *
+    * Scale: the window is a single global sort over DISTINCT values —
+    * fine for monitor-sized slices; at full-corpus scale feed a
+    * quantile sketch of each side instead (the D statistic only needs
+    * ECDFs at the evaluation points).
+    *
+    * @return one row: (n_ref, n_cur, ks_at, ks) — the statistic and
+    *         the smallest value where the gap attains it
+    */
+  def ks(df: DataFrame, value: Column, isRef: Column): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(value.as("v"), isRef.as("ref"))
+      .groupBy("v")
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("a_ref"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("a_cur"))
+      .withColumn("gap", round(abs(
+        sum("a_ref").over(wCum) / sum("a_ref").over(wAll).cast("double")
+          - sum("a_cur").over(wCum) / sum("a_cur").over(wAll).cast("double")), 6))
+      .withColumn("n_ref", sum("a_ref").over(wAll))
+      .withColumn("n_cur", sum("a_cur").over(wAll))
+      .orderBy(desc("gap"), asc("v"))
+      .limit(1)
+      .select(col("n_ref"), col("n_cur"), col("v").as("ks_at"),
+        col("gap").as("ks"))
+  }
 }

@@ -37,4 +37,24 @@ object Eval {
           / (sum(when(col("graft_auc_p"), 1L).otherwise(0L))
             * sum(when(!col("graft_auc_p"), 1L).otherwise(0L)))).as("auc"))
   }
+
+  /** Cohen's kappa (E-72): chance-corrected agreement between two
+    * binary raters — κ = (p_o − p_e) ∕ (1 − p_e), where p_o is the
+    * observed agreement rate and p_e = p_A⁺p_B⁺ + p_A⁻p_B⁻ the
+    * agreement expected if the raters were independent. The standard
+    * check before trusting any labeling rule pair (annotator vs
+    * heuristic, old model vs new). Single aggregate, one pass, exact
+    * rational arithmetic over counts — map-side combinable.
+    *
+    * @return one row: (n, p_o, p_e, kappa)
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    val pa = sum(when(raterA, 1L).otherwise(0L)) / n
+    val pb = sum(when(raterB, 1L).otherwise(0L)) / n
+    val po = sum(when(raterA === raterB, 1L).otherwise(0L)) / n
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    df.agg(count(lit(1)).as("n"), po.as("p_o"), pe.as("p_e"),
+      ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

@@ -327,13 +327,18 @@ object ExtensionQueries2 {
   }
 
   // ---- E-65 distribution drift: population stability index -----------------------
-  // Price distribution, orders up to 1994 (reference) vs 1996+ (current);
-  // per-bin PSI contributions localize the drift.
+  // Price distribution, orders up to 1997 (reference) vs 1999+
+  // (current); per-bin PSI contributions localize the drift. (The
+  // fixture's dates span 1995–2001 — earlier cutoffs of 1994/1996
+  // silently made the reference slice EMPTY at every SF, a comparison
+  // of nothing vs everything that only stayed oracle-green because
+  // Laplace smoothing kept both engines agreeing on the degenerate
+  // input.)
   def extPsi(s: SparkSession, dir: String): DataFrame = {
     val yr = year(col("o_orderdate"))
     Drift.psiBins(
-        t(s, dir, "orders").filter(yr <= 1994 || yr >= 1996),
-        value = col("o_totalprice"), isRef = yr <= 1994,
+        t(s, dir, "orders").filter(yr <= 1997 || yr >= 1999),
+        value = col("o_totalprice"), isRef = yr <= 1997,
         binWidth = 50000.0, nBins = 10)
       .select(col("bin").cast("long").as("bin"), col("c_ref"), col("c_cur"),
         round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
@@ -484,7 +489,57 @@ object ExtensionQueries2 {
         round(col("p_retailprice"), 2).as("wmedian"))
   }
 
+  // ---- E-70 PMI/NPMI collocations ---------------------------------------------
+  // Top collocations by normalized PMI over the documents corpus; rank
+  // on the ROUNDED npmi (tiebreak t1,t2) so cross-engine log noise
+  // cannot reorder the cut. The oracle recomputes unigram/bigram
+  // probabilities and both statistics from scratch.
+  def extPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5)
+      .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("pmi"), 4).as("pmi"), round(col("npmi"), 4).as("npmi"))
+      .orderBy(desc("npmi"), asc("t1"), asc("t2"))
+      .limit(50)
+
+  // ---- E-71 two-sample Kolmogorov–Smirnov drift test --------------------------
+  // Same slices as ext_psi (orders ≤1997 vs ≥1999) through the bin-free
+  // statistic: D = max ECDF gap, argmax value reported. Gap is rounded
+  // BEFORE the argmax in both engines, so the selected row is pinned.
+  def extKs(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(col("o_orderdate"))
+    Drift.ks(
+        t(s, dir, "orders").filter(yr <= 1997 || yr >= 1999),
+        value = round(col("o_totalprice"), 2), isRef = yr <= 1997)
+      .select(col("n_ref"), col("n_cur"), round(col("ks_at"), 2).as("ks_at"),
+        col("ks"))
+  }
+
+  // ---- E-72 Cohen's kappa inter-rater agreement -------------------------------
+  // Chance-corrected agreement between two deterministic labeling
+  // rules: "big order" (totalprice > 150k) vs "urgent priority"
+  // (1-URGENT/2-HIGH). Independent by construction, so κ ≈ 0 — the
+  // exact value is pinned to 6 decimals; counts are exact rationals.
+  def extKappa(s: SparkSession, dir: String): DataFrame =
+    Eval.cohenKappa(t(s, dir, "orders"),
+        raterA = col("o_totalprice") > 150000,
+        raterB = col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("n"), round(col("p_o"), 6).as("p_o"),
+        round(col("p_e"), 6).as("p_e"), round(col("kappa"), 6).as("kappa"))
+
+  // ---- E-73 positional phrase search ------------------------------------------
+  // Exact-sequence retrieval ("big order scan") via per-term postings
+  // intersected on (doc, startPos) — the inverted-index formulation;
+  // the oracle replays the identical adjacency join.
+  def extPhrase(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseSearch(t(s, dir, "documents"),
+        Seq("big", "order", "scan"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_pmi" -> (extPmi _),
+    "ext_ks" -> (extKs _),
+    "ext_kappa" -> (extKappa _),
+    "ext_phrase" -> (extPhrase _),
     "ext_wmedian" -> (extWMedian _),
     "ext_f1" -> (extF1 _),
     "ext_ndcg" -> (extNdcg _),
@@ -510,6 +565,86 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    // E-70: unigram/bigram probabilities and both statistics recomputed
+    // from scratch; bigram slots via the 1-based adjacency join (only
+    // relative offsets matter vs Spark's 0-based posexplode).
+    "ext_pmi" ->
+      """with tp as (select doc_id d,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) tok,
+        |    generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) i
+        |  from documents),
+        |uni as (select tok, count(*) n from tp group by 1),
+        |bg as (select a.tok t1, b.tok t2, count(*) n_ab
+        |  from tp a join tp b on a.d = b.d and b.i = a.i + 1
+        |  group by 1, 2),
+        |j as (select t1, t2, n_ab, ua.n n_a, ub.n n_b,
+        |    n_ab / (select sum(n_ab) from bg) p_ab,
+        |    (ua.n / (select sum(n) from uni))
+        |      * (ub.n / (select sum(n) from uni)) p_ind
+        |  from bg join uni ua on ua.tok = bg.t1
+        |    join uni ub on ub.tok = bg.t2
+        |  where n_ab >= 5)
+        |select t1, t2, cast(n_ab as bigint) n_ab, cast(n_a as bigint) n_a,
+        |  cast(n_b as bigint) n_b,
+        |  round(log2(p_ab / p_ind), 4) pmi,
+        |  round(log2(p_ab / p_ind) / (-log2(p_ab)), 4) npmi
+        |from j order by npmi desc, t1, t2 limit 50""".stripMargin,
+
+    // E-71: ECDFs over distinct values (tie blocks enter whole), gap
+    // rounded BEFORE the argmax, value as tiebreak — same pinning as
+    // the Spark side.
+    "ext_ks" ->
+      """with f as (select round(o_totalprice, 2) v,
+        |    year(o_orderdate) <= 1997 r
+        |  from orders
+        |  where year(o_orderdate) <= 1997 or year(o_orderdate) >= 1999),
+        |g as (select v, sum(case when r then 1 else 0 end) a_ref,
+        |    sum(case when r then 0 else 1 end) a_cur
+        |  from f group by 1),
+        |c as (select v,
+        |    round(abs(
+        |      sum(a_ref) over (order by v rows unbounded preceding)
+        |        / cast(sum(a_ref) over () as double)
+        |      - sum(a_cur) over (order by v rows unbounded preceding)
+        |        / cast(sum(a_cur) over () as double)), 6) gap,
+        |    sum(a_ref) over () n_ref, sum(a_cur) over () n_cur
+        |  from g)
+        |select cast(n_ref as bigint) n_ref, cast(n_cur as bigint) n_cur,
+        |  round(v, 2) ks_at, gap ks
+        |from c order by gap desc, v limit 1""".stripMargin,
+
+    // E-72: κ from exact counts; p_e spelled out (pa·pb + (1−pa)(1−pb))
+    // in the same arithmetic order as Eval.cohenKappa.
+    "ext_kappa" ->
+      """with f as (select o_totalprice > 150000 a,
+        |    o_orderpriority in ('1-URGENT', '2-HIGH') b from orders),
+        |g as (select count(*) n,
+        |    sum(case when a then 1 else 0 end) na,
+        |    sum(case when b then 1 else 0 end) nb,
+        |    sum(case when a = b then 1 else 0 end) nagree
+        |  from f),
+        |p as (select n,
+        |    nagree / cast(n as double) po,
+        |    (na / cast(n as double)) * (nb / cast(n as double))
+        |      + (1 - na / cast(n as double)) * (1 - nb / cast(n as double)) pe
+        |  from g)
+        |select cast(n as bigint) n, round(po, 6) p_o, round(pe, 6) p_e,
+        |  round((po - pe) / (1 - pe), 6) kappa
+        |from p""".stripMargin,
+
+    // E-73: the identical postings adjacency join (1-based subscripts —
+    // relative offsets only).
+    "ext_phrase" ->
+      """with tp as (select doc_id d,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) tok,
+        |    generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) i
+        |  from documents)
+        |select a.d doc_id, cast(count(*) as bigint) n_hits
+        |from tp a
+        |  join tp b on a.d = b.d and b.i = a.i + 1 and b.tok = 'order'
+        |  join tp c on a.d = c.d and c.i = a.i + 2 and c.tok = 'scan'
+        |where a.tok = 'big'
+        |group by 1 order by 1""".stripMargin,
     "ext_wmedian" ->
       """with w as (select l_partkey p_partkey, count(*) wt
         |  from lineitem group by 1),
@@ -625,9 +760,9 @@ object ExtensionQueries2 {
         |from r""".stripMargin,
 
     "ext_psi" ->
-      """with f as (select o_totalprice x, year(o_orderdate) <= 1994 is_ref
+      """with f as (select o_totalprice x, year(o_orderdate) <= 1997 is_ref
         |  from orders
-        |  where year(o_orderdate) <= 1994 or year(o_orderdate) >= 1996),
+        |  where year(o_orderdate) <= 1997 or year(o_orderdate) >= 1999),
         |c as (select cast(greatest(least(floor(x / 50000), 9), 0) as bigint) bin,
         |    cast(sum(case when is_ref then 1 else 0 end) as bigint) c_ref,
         |    cast(sum(case when is_ref then 0 else 1 end) as bigint) c_cur

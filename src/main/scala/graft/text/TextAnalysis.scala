@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -150,6 +151,84 @@ object TextAnalysis {
   def bigramCounts(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(explode(bigrams(col(textCol))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cnt"))
+
+  /** PMI/NPMI collocation extraction (E-70) — the classic corpus-
+    * linguistics measure of "these two tokens form a unit":
+    *
+    *   PMI(a,b)  = log₂( p(ab) ∕ (p(a)·p(b)) )
+    *   NPMI(a,b) = PMI ∕ (−log₂ p(ab))        ∈ [−1, 1]
+    *
+    * with p(a) over token occurrences and p(ab) over adjacent-bigram
+    * slots. NPMI's normalization removes PMI's low-frequency bias, and
+    * `minCount` removes the noise floor below which the estimates are
+    * meaningless (Bouma 2009's standard practice).
+    *
+    * Scale shape: unigram and bigram tables are one count-shuffle each
+    * off the same narrow projection; the unigram side is vocabulary-
+    * sized, so both probability joins BROADCAST, and the corpus totals
+    * are global windows over the already-aggregated (vocab-sized)
+    * frames — nothing touches corpus-sized data twice.
+    *
+    * @return (t1, t2, n_ab, n_a, n_b, pmi, npmi), unrounded
+    */
+  def collocations(df: DataFrame, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    val wAll = Window.partitionBy()
+    val uni = df
+      .select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(wAll))
+    val bg = df.select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      // total bigram slots BEFORE the minCount filter — p(ab) is a
+      // probability over all slots, not the surviving ones
+      .withColumn("btot", sum("n_ab").over(wAll))
+      .withColumn("t1", split(col("bg"), " ").getItem(0))
+      .withColumn("t2", split(col("bg"), " ").getItem(1))
+    val u1 = broadcast(uni.select(col("tok").as("t1"), col("n").as("n_a"),
+      col("tot")))
+    val u2 = broadcast(uni.select(col("tok").as("t2"), col("n").as("n_b")))
+    bg.filter(col("n_ab") >= minCount)
+      .join(u1, "t1").join(u2, "t2")
+      .withColumn("p_ab", col("n_ab") / col("btot"))
+      .withColumn("pmi", log2(col("p_ab")
+        / ((col("n_a") / col("tot")) * (col("n_b") / col("tot")))))
+      .withColumn("npmi", col("pmi") / -log2(col("p_ab")))
+      .select("t1", "t2", "n_ab", "n_a", "n_b", "pmi", "npmi")
+  }
+
+  /** Positional phrase search (E-73): documents containing the exact
+    * token sequence `phrase`, with the number of occurrences. The
+    * inverted-index formulation: per-term postings of (doc, position),
+    * pruned to the query's terms FIRST (the isin filter reaches the
+    * scan), then intersected by equi-join on (doc, startPos) — term i
+    * must appear at startPos + i. k−1 keyed joins for a k-term phrase,
+    * each on the (doc, pos) composite key; postings of query terms are
+    * a vanishing fraction of the corpus, so the joins are small however
+    * large the corpus is.
+    *
+    * @return (idCol, n_hits) for matching documents only
+    */
+  def phraseSearch(df: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = df
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol), " "), x => x =!= ""))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    val first = toks.filter(col("tok") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (term, i)) =>
+        val p = toks.filter(col("tok") === term)
+          .select(col(idCol).as("__pid"), (col("pos") - i).as("__pstart"))
+        acc.join(p,
+            acc(idCol) === col("__pid") && acc("pos") === col("__pstart"))
+          .select(acc(idCol), acc("pos"))
+    }
+    matched.groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
 
   /** Gopher-style repetition signals (E-48) — the classic quality-filter
     * features for LLM training data (Rae et al. 2021 §A1.1): per
