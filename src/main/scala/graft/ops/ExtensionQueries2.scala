@@ -535,7 +535,74 @@ object ExtensionQueries2 {
         Seq("big", "order", "scan"))
       .orderBy("doc_id")
 
+  // ---- E-74 incremental aggregate maintenance ---------------------------------
+  // The materialized-view algebra, gated end-to-end: state(≤1998) ⊕
+  // state(≥1999) must equal the oracle's single-pass aggregation over
+  // everything — the merge IS the correctness claim (the two slices
+  // partition the fixture's 1995–2001 span).
+  def extIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val yr = year(col("o_orderdate"))
+    val key = col("o_custkey") % 100
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.state(o.filter(yr <= 1998), key, col("o_totalprice")),
+      IncrementalAgg.state(o.filter(yr >= 1999), key, col("o_totalprice")))
+    IncrementalAgg.metrics(merged)
+      .select(col("k").cast("long").as("k"), col("n"),
+        round(col("s"), 2).as("s"), round(col("avg"), 4).as("avg"),
+        round(col("mn"), 2).as("mn"), round(col("mx"), 2).as("mx"))
+      .orderBy("k")
+  }
+
+  // ---- E-75 Markov transition matrix ------------------------------------------
+  // Event-type transition probabilities over per-user sequences,
+  // (ts, event_id)-ordered; the oracle replays the identical lead()
+  // and row normalization.
+  def extMarkov(s: SparkSession, dir: String): DataFrame =
+    Sequences.transitions(t(s, dir, "events").filter(col("user_id") <= 200),
+        key = col("user_id"), state = col("event_type"),
+        ordering = Seq(col("ts"), col("event_id")))
+      .select(col("from_s"), col("to_s"), col("n"),
+        round(col("p"), 4).as("p"))
+      .orderBy("from_s", "to_s")
+
+  // ---- E-76 equi-depth histogram ----------------------------------------------
+  // ntile(8) over (rounded value, orderkey) — the unique tiebreak is
+  // what makes tied values land in the same bin cross-engine; bounds
+  // are data-driven, counts equal ±1.
+  def extHistoEq(s: SparkSession, dir: String): DataFrame =
+    Histogram.equiDepth(t(s, dir, "orders"),
+        value = round(col("o_totalprice"), 2), tiebreak = col("o_orderkey"),
+        nBins = 8)
+      .select(col("bin").cast("long").as("bin"), col("cnt"),
+        round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"))
+      .orderBy("bin")
+
+  // ---- E-77 grid-blocked spatial nearest join ---------------------------------
+  // Deterministic pseudo-coordinates (two-decimal rationals from the
+  // keys, exactly representable) in a [40,45)×[0,5) region; nearest
+  // supplier within 60 km per customer. The engine runs the 3×3
+  // grid-cell blocked join (exhaustive: 1° lon ≥ 78 km at 45°); the
+  // oracle brute-forces all pairs — blocked ≡ exhaustive is the gated
+  // claim. Distance rounded to 3 decimals in BOTH engines before the
+  // radius filter and the rank, so libm ulp noise cannot flip a
+  // boundary pair.
+  def extGeoJoin(s: SparkSession, dir: String): DataFrame = {
+    val probes = t(s, dir, "customer").select(col("c_custkey").as("id"),
+      (lit(40.0) + (col("c_custkey") * 37 % 500) / 100.0).as("lat"),
+      ((col("c_custkey") * 101 % 500) / 100.0).as("lon"))
+    val cands = t(s, dir, "supplier").select(col("s_suppkey").as("id"),
+      (lit(40.0) + (col("s_suppkey") * 53 % 500) / 100.0).as("lat"),
+      ((col("s_suppkey") * 71 % 500) / 100.0).as("lon"))
+    GeoJoin.nearestWithin(probes, cands, radiusKm = 60.0)
+      .orderBy("probe_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_incragg" -> (extIncrAgg _),
+    "ext_markov" -> (extMarkov _),
+    "ext_histo_eq" -> (extHistoEq _),
+    "ext_geo_join" -> (extGeoJoin _),
     "ext_pmi" -> (extPmi _),
     "ext_ks" -> (extKs _),
     "ext_kappa" -> (extKappa _),
@@ -565,6 +632,61 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    // E-74: one single-pass aggregation over the whole table — the
+    // engine's two-state merge must reproduce it exactly.
+    "ext_incragg" ->
+      """select cast(o_custkey % 100 as bigint) k,
+        |  cast(count(*) as bigint) n,
+        |  round(sum(o_totalprice), 2) s,
+        |  round(sum(o_totalprice) / count(*), 4) avg,
+        |  round(min(o_totalprice), 2) mn,
+        |  round(max(o_totalprice), 2) mx
+        |from orders group by 1 order by 1""".stripMargin,
+
+    // E-75: identical lead() + row normalization.
+    "ext_markov" ->
+      """with t2 as (select event_type from_s,
+        |    lead(event_type) over (partition by user_id
+        |      order by ts, event_id) to_s
+        |  from events where user_id <= 200),
+        |g as (select from_s, to_s, count(*) n from t2
+        |  where to_s is not null group by 1, 2)
+        |select from_s, to_s, cast(n as bigint) n,
+        |  round(n / cast(sum(n) over (partition by from_s) as double), 4) p
+        |from g order by 1, 2""".stripMargin,
+
+    // E-76: same ntile over the same unique order.
+    "ext_histo_eq" ->
+      """with x as (select round(o_totalprice, 2) v,
+        |    ntile(8) over (order by round(o_totalprice, 2), o_orderkey) bin
+        |  from orders)
+        |select cast(bin as bigint) bin, cast(count(*) as bigint) cnt,
+        |  round(min(v), 2) lo, round(max(v), 2) hi
+        |from x group by 1 order by 1""".stripMargin,
+
+    // E-77: brute-force all-pairs haversine — the blocked engine path
+    // must match the exhaustive oracle.
+    "ext_geo_join" ->
+      """with c as (select c_custkey id,
+        |    40 + (c_custkey * 37 % 500) / 100.0 lat,
+        |    (c_custkey * 101 % 500) / 100.0 lon from customer),
+        |s as (select s_suppkey id,
+        |    40 + (s_suppkey * 53 % 500) / 100.0 lat,
+        |    (s_suppkey * 71 % 500) / 100.0 lon from supplier),
+        |d as (select c.id probe_id, s.id cand_id,
+        |    round(2 * 6371 * asin(sqrt(
+        |      pow(sin(radians(s.lat - c.lat) / 2), 2)
+        |      + cos(radians(c.lat)) * cos(radians(s.lat))
+        |        * pow(sin(radians(s.lon - c.lon) / 2), 2))), 3) dist_km
+        |  from c cross join s),
+        |f as (select probe_id, cand_id, dist_km,
+        |    row_number() over (partition by probe_id
+        |      order by dist_km, cand_id) rn
+        |  from d where dist_km <= 60)
+        |select cast(probe_id as bigint) probe_id,
+        |  cast(cand_id as bigint) cand_id, dist_km
+        |from f where rn = 1 order by probe_id""".stripMargin,
+
     // E-70: unigram/bigram probabilities and both statistics recomputed
     // from scratch; bigram slots via the 1-based adjacency join (only
     // relative offsets matter vs Spark's 0-based posexplode).

@@ -36,4 +36,26 @@ object Histogram {
         col("cnt"))
       .orderBy("bucket")
   }
+
+  /** Equi-DEPTH histogram (E-76): ntile(nBins) over a TOTAL order —
+    * `tiebreak` must make the sort unique, or tied values straddle bin
+    * boundaries in an engine-dependent order. Each bin carries the same
+    * row count (±1) with data-driven bounds — the distribution probe
+    * for skewed columns where equi-width histograms put everything in
+    * one bucket (and the shape query optimizers build for selectivity
+    * estimation).
+    *
+    * Scale note: ntile needs one global sort; for a 100 TB column use
+    * approx percentiles as cut points instead — this operator is the
+    * exact form for monitor-sized slices and the oracle for that
+    * approximation.
+    */
+  def equiDepth(df: DataFrame, value: Column, tiebreak: Column,
+      nBins: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(value, tiebreak)
+    df.select(value.as("v"), ntile(nBins).over(w).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bin")
+  }
 }
