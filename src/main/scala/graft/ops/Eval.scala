@@ -38,6 +38,32 @@ object Eval {
             * sum(when(!col("graft_auc_p"), 1L).otherwise(0L)))).as("auc"))
   }
 
+  /** Two-proportion z-test (E-79): the A/B-test primitive —
+    * z = (p₁ − p₂) ∕ √(p̂(1−p̂)(1∕n₁ + 1∕n₂)) with the pooled
+    * proportion p̂, the standard large-sample success-rate comparison.
+    * One conditional-count aggregate per input pass (map-side
+    * combinable); the z arithmetic is a 1-row projection.
+    *
+    * @param group   boolean column: true = variant A, false = variant B
+    * @param success boolean column: the measured conversion
+    * @return one row: (n_a, x_a, n_b, x_b, p_a, p_b, z)
+    */
+  def twoProportionZ(df: DataFrame, group: Column,
+      success: Column): DataFrame = {
+    val na = sum(when(group, 1L).otherwise(0L)).cast("double")
+    val nb = sum(when(!group, 1L).otherwise(0L)).cast("double")
+    val xa = sum(when(group && success, 1L).otherwise(0L)).cast("double")
+    val xb = sum(when(!group && success, 1L).otherwise(0L)).cast("double")
+    val pooled = (xa + xb) / (na + nb)
+    df.agg(
+      na.cast("long").as("n_a"), xa.cast("long").as("x_a"),
+      nb.cast("long").as("n_b"), xb.cast("long").as("x_b"),
+      (xa / na).as("p_a"), (xb / nb).as("p_b"),
+      ((xa / na - xb / nb)
+        / sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb)))
+        .as("z"))
+  }
+
   /** Cohen's kappa (E-72): chance-corrected agreement between two
     * binary raters — κ = (p_o − p_e) ∕ (1 − p_e), where p_o is the
     * observed agreement rate and p_e = p_A⁺p_B⁺ + p_A⁻p_B⁻ the

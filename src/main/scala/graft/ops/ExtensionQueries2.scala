@@ -598,7 +598,49 @@ object ExtensionQueries2 {
       .orderBy("probe_id")
   }
 
+  // ---- E-78 2-D skyline / Pareto frontier -------------------------------------
+  // "Record-setting orders": the (date, price) frontier — each frontier
+  // date strictly beats every earlier date's best price. Sort-filter
+  // skyline over the per-date aggregate (window runs on distinct-date
+  // cardinality, not the input).
+  def extSkyline(s: SparkSession, dir: String): DataFrame =
+    Skyline.frontier2d(t(s, dir, "orders"),
+        x = col("o_orderdate"), y = round(col("o_totalprice"), 2))
+      .select(col("x").as("d"), col("y").as("best"))
+      .orderBy("d")
+
+  // ---- E-79 two-proportion z-test ---------------------------------------------
+  // A/B primitive: do BUILDING and MACHINERY customers convert to
+  // high-value orders (>150k) at the same rate? Pooled-variance z,
+  // exact counts, 1-row output.
+  def extZtest(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    Eval.twoProportionZ(j,
+        group = col("c_mktsegment") === "BUILDING",
+        success = col("o_totalprice") > 150000)
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("z"), 4).as("z"))
+  }
+
+  // ---- E-82 random-projection dim reduction -----------------------------------
+  // 64 → 8 dims through the sha256-Rademacher matrix; the oracle
+  // regenerates the identical matrix from the identical hashes, so the
+  // projection is pinned value-for-value.
+  def extRproj(s: SparkSession, dir: String): DataFrame =
+    RandomProjection.project(
+        t(s, dir, "embeddings").filter(col("vec_id") < 20),
+        dIn = 64, kOut = 8)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("j").cast("long").as("j"), round(col("v"), 4).as("v"))
+      .orderBy("vec_id", "j")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_skyline" -> (extSkyline _),
+    "ext_ztest" -> (extZtest _),
+    "ext_rproj" -> (extRproj _),
     "ext_incragg" -> (extIncrAgg _),
     "ext_markov" -> (extMarkov _),
     "ext_histo_eq" -> (extHistoEq _),
@@ -632,6 +674,55 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    // E-78: the same sort-filter skyline over the per-date aggregate.
+    "ext_skyline" ->
+      """with g as (select o_orderdate d, round(max(o_totalprice), 2) best
+        |  from orders group by 1),
+        |f as (select d, best,
+        |    max(best) over (order by d
+        |      rows between unbounded preceding and 1 preceding) prev_best
+        |  from g)
+        |select d, best from f
+        |where prev_best is null or best > prev_best order by d""".stripMargin,
+
+    // E-79: identical pooled-z arithmetic over exact counts.
+    "ext_ztest" ->
+      """with j as (select o_totalprice > 150000 s,
+        |    c_mktsegment = 'BUILDING' g
+        |  from orders join customer on o_custkey = c_custkey
+        |  where c_mktsegment in ('BUILDING', 'MACHINERY')),
+        |a as (select
+        |    sum(case when g then 1 else 0 end) na,
+        |    sum(case when g and s then 1 else 0 end) xa,
+        |    sum(case when not g then 1 else 0 end) nb,
+        |    sum(case when not g and s then 1 else 0 end) xb
+        |  from j),
+        |p as (select na, xa, nb, xb,
+        |    (xa + xb) / cast(na + nb as double) pool from a)
+        |select cast(na as bigint) n_a, cast(xa as bigint) x_a,
+        |  cast(nb as bigint) n_b, cast(xb as bigint) x_b,
+        |  round(xa / cast(na as double), 6) p_a,
+        |  round(xb / cast(nb as double), 6) p_b,
+        |  round((xa / cast(na as double) - xb / cast(nb as double))
+        |    / sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb)), 4) z
+        |from p""".stripMargin,
+
+    // E-82: the matrix regenerated from the identical sha256 parity —
+    // '0x'-parse trick per the sampling convention.
+    "ext_rproj" ->
+      """with e as (select vec_id, cast(unnest(embedding) as double) x,
+        |    generate_subscripts(embedding, 1) - 1 i
+        |  from embeddings where vec_id < 20),
+        |r as (select i.range i, j.range j,
+        |    case when ('0x' || substr(sha256(
+        |        cast(i.range as varchar) || ':' || cast(j.range as varchar)),
+        |        1, 1))::int % 2 = 0 then 1.0 else -1.0 end r
+        |  from range(64) i cross join range(8) j)
+        |select cast(e.vec_id as bigint) vec_id, cast(r.j as bigint) j,
+        |  round(sum(e.x * r.r) / sqrt(8), 4) v
+        |from e join r on e.i = r.i
+        |group by 1, 2 order by 1, 2""".stripMargin,
+
     // E-74: one single-pass aggregation over the whole table — the
     // engine's two-state merge must reproduce it exactly.
     "ext_incragg" ->

@@ -336,6 +336,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(state.get) == canon(expected))
   }
 
+  test("ST-17 foreachBatch incremental aggregate maintenance equals one-pass " +
+      "batch state") {
+    // The streaming face of E-74: each micro-batch folds its mergeable
+    // (count,sum,min,max) state into the running state via
+    // IncrementalAgg.merge; associativity makes the fold order-free, so
+    // the final state must equal the one-pass batch aggregation.
+    val tmp = Files.createTempDirectory("events_incragg")
+    val src = Paths.get(s"$sf0001/events.parquet")
+    Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    var batches = 0
+    val q = Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        val s = graft.ops.IncrementalAgg.state(batch,
+          col("user_id") % 10, col("value"))
+        val merged = Option(state.get)
+          .fold(s)(prev => graft.ops.IncrementalAgg.merge(prev, s))
+        import scala.jdk.CollectionConverters._
+        state.set(spark.createDataFrame(
+          merged.collect().toSeq.asJava, merged.schema))
+        ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    // both fixture copies stream through, so the expected one-pass
+    // state is over the DOUBLED events
+    val expected = graft.ops.IncrementalAgg.state(
+      batchEvents.unionByName(batchEvents), col("user_id") % 10, col("value"))
+    def m(df: DataFrame) = canon(graft.ops.IncrementalAgg.metrics(df)
+      .select(col("k"), col("n"), round(col("s"), 2).as("s"),
+        round(col("avg"), 4).as("a"), round(col("mn"), 2),
+        round(col("mx"), 2)))
+    assert(m(state.get) == m(expected))
+  }
+
   test("ST-8 stream-stream interval join equals batch interval join") {
     val src = Streams.readEvents(spark, eventsDir)
     val got = replay(Streams.clickViewJoin(src), "append")
