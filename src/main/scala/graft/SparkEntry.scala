@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.ContractQueries.all ++ graft.queries.ContractQueries2.all ++
       graft.queries.ContractQueries3.all ++ graft.queries.ContractQueries4.all ++
+      graft.queries.ContractQueries5.all ++
       graft.ops.ExtensionQueries.all ++ graft.ops.ExtensionQueries2.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -24,5 +25,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.OracleSql.all ++ graft.queries.OracleSql2.all ++
       graft.queries.OracleSql3.all ++ graft.queries.OracleSql4.all ++
+      graft.queries.OracleSql5.all ++
       graft.ops.ExtensionQueries.oracleSql ++ graft.ops.ExtensionQueries2.oracleSql
 }

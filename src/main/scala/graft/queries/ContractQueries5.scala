@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 contract queries: bounded RANGE window frames, boolean
+  * aggregates, the third string-function batch, and calendar edge
+  * semantics. Same determinism discipline as the earlier files
+  * (SURVEY §5.2).
+  */
+object ContractQueries5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- Q111 bounded RANGE window frame (W-12) --------------------------------
+  // Rolling 7-day revenue per customer: a VALUE-bounded frame (range
+  // between 6 preceding and current row over epoch-day), not a row
+  // count — same-day orders enter each other's frames regardless of
+  // row order, which is exactly what ROWS frames get wrong. The only
+  // other range frame in the suite is the unbounded one (q35).
+  def q111RollRange(s: SparkSession, dir: String): DataFrame = {
+    val d = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-6, 0)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), d.cast("long").as("d"),
+        round(col("o_totalprice"), 2).as("price"))
+      .withColumn("roll7", round(sum("price").over(w), 2))
+      .withColumn("n7", count(lit(1)).over(w))
+      .orderBy("o_custkey", "d", "price")
+  }
+
+  // ---- Q112 boolean aggregates (A-23) ----------------------------------------
+  // bool_and / bool_or / count_if per order status — the predicate
+  // profile shape (DuckDB spells count_if as a FILTER count).
+  def q112BoolAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+        expr("count_if(o_totalprice > 200000)").as("n_big"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  // ---- Q113 string functions, batch 3 (F-1e) ---------------------------------
+  // translate / split_part / lpad / rpad / repeat / reverse /
+  // left / right — the remaining portable string surface.
+  def q113Str3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+        expr("split_part(c_mktsegment, 'I', 1)").as("sp"),
+        lpad(col("c_mktsegment"), 12, ".").as("lp"),
+        rpad(col("c_mktsegment"), 12, ".").as("rp"),
+        repeat(expr("left(c_mktsegment, 2)"), 3).as("rep"),
+        reverse(col("c_mktsegment")).as("rev"),
+        expr("right(c_mktsegment, 3)").as("rgt"))
+      .orderBy("c_custkey")
+      .limit(100)
+
+  // ---- Q114 calendar edge semantics (F-2e) -----------------------------------
+  // add_months clamps to month end (Jan 31 + 1 → Feb 29 in a leap
+  // year); last_day, quarter, and the dayofweek numbering pinned
+  // cross-engine (Spark 1=Sunday vs DuckDB dow 0=Sunday).
+  def q114Dates3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 1).cast("date").as("plus_m"),
+        add_months(lit("2000-01-31").cast("date"), 1).as("leap_clamp"),
+        last_day(col("o_orderdate")).as("eom"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow1"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** Round-4 contract queries keyed by id. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_rollrange" -> (q111RollRange _),
+    "q112_boolagg" -> (q112BoolAgg _),
+    "q113_str3" -> (q113Str3 _),
+    "q114_dates3" -> (q114Dates3 _))
+}

@@ -1,0 +1,50 @@
+package graft.queries
+
+/** DuckDB oracles for ContractQueries5 (SURVEY §5.2 discipline:
+  * rounded doubles, BIGINT-aligned ints, total ORDER BY).
+  */
+object OracleSql5 {
+
+  val all: Map[String, String] = Map(
+    "q111_rollrange" ->
+      """with x as (select o_custkey,
+        |    cast(date_diff('day', timestamp '1995-01-01', o_orderdate)
+        |      as bigint) d,
+        |    round(o_totalprice, 2) price
+        |  from orders where o_custkey <= 100)
+        |select o_custkey, d, price,
+        |  round(sum(price) over (partition by o_custkey order by d
+        |    range between 6 preceding and current row), 2) roll7,
+        |  cast(count(*) over (partition by o_custkey order by d
+        |    range between 6 preceding and current row) as bigint) n7
+        |from x order by o_custkey, d, price""".stripMargin,
+
+    "q112_boolagg" ->
+      """select o_orderstatus,
+        |  bool_and(o_totalprice > 1000) all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') any_urgent,
+        |  cast(count(*) filter (where o_totalprice > 200000) as bigint) n_big,
+        |  count(*) n
+        |from orders group by 1 order by 1""".stripMargin,
+
+    "q113_str3" ->
+      """select c_custkey,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') tr,
+        |  split_part(c_mktsegment, 'I', 1) sp,
+        |  lpad(c_mktsegment, 12, '.') lp,
+        |  rpad(c_mktsegment, 12, '.') rp,
+        |  repeat(left(c_mktsegment, 2), 3) rep,
+        |  reverse(c_mktsegment) rev,
+        |  right(c_mktsegment, 3) rgt
+        |from customer order by c_custkey limit 100""".stripMargin,
+
+    "q114_dates3" ->
+      """select o_orderkey,
+        |  cast(o_orderdate + interval 1 month as date) plus_m,
+        |  cast(date '2000-01-31' + interval 1 month as date) leap_clamp,
+        |  cast(last_day(o_orderdate) as date) eom,
+        |  cast(quarter(o_orderdate) as bigint) q,
+        |  cast(dayofweek(o_orderdate) + 1 as bigint) dow1
+        |from orders where o_custkey <= 50
+        |order by o_orderkey limit 100""".stripMargin)
+}
