@@ -637,7 +637,55 @@ object ExtensionQueries2 {
         col("j").cast("long").as("j"), round(col("v"), 4).as("v"))
       .orderBy("vec_id", "j")
 
+  // ---- E-88 dataset diff -------------------------------------------------------
+  // Data-ops regression check against a synthetic "next version" of
+  // customer: keys %101 dropped, %97 modified (+1), 25 nation-derived
+  // keys added. Output = the non-unchanged rows — the review set.
+  def extTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val cur = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("v"))
+    val nxt = cur.filter(col("k") % 101 =!= 0)
+      .withColumn("v",
+        when(col("k") % 97 === 0, round(col("v") + 1, 2)).otherwise(col("v")))
+      .unionByName(t(s, dir, "nation")
+        .select((col("n_nationkey") + 5000000L).as("k"),
+          round(col("n_nationkey") + lit(0.5), 2).as("v")))
+    TableDiff.diff(cur, nxt, "k")
+      .filter(col("status") =!= "unchanged")
+      .select(col("k"), col("status"), col("v_old"), col("v_new"))
+      .orderBy("k")
+      .limit(200)
+  }
+
+  // ---- E-91 cross-domain quantile normalization --------------------------------
+  // Percentile-rank the quality score WITHIN each source — the
+  // calibration that makes "top 10% of src0" comparable to "top 10% of
+  // src2" when raw score scales differ. Rank on (rounded quality,
+  // doc_id), so the oracle's rank is identical.
+  def extQnorm(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("quality"))
+    Scaling.percentileRank(scored, group = col("source"),
+        score = col("quality"), tiebreak = col("doc_id"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(col("pr"), 4).as("pr"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  // ---- E-92 hash-ring negative pairs -------------------------------------------
+  // One deterministic "random" partner per document (sha256 ring
+  // successor, wrap-around) — contrastive negatives without a cross
+  // join; every doc appears exactly once on each side.
+  def extNegPairs(s: SparkSession, dir: String): DataFrame =
+    Sampling.ringPairs(t(s, dir, "documents"), col("doc_id"))
+      .select(col("key").as("doc_id"), col("partner"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_tablediff" -> (extTableDiff _),
+    "ext_qnorm" -> (extQnorm _),
+    "ext_negpairs" -> (extNegPairs _),
     "ext_skyline" -> (extSkyline _),
     "ext_ztest" -> (extZtest _),
     "ext_rproj" -> (extRproj _),
@@ -674,6 +722,66 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    // E-88: the same synthetic next-version + full-outer classification.
+    "ext_tablediff" ->
+      """with cur as (select c_custkey k, round(c_acctbal, 2) v from customer),
+        |nxt as (select k,
+        |    case when k % 97 = 0 then round(v + 1, 2) else v end v
+        |  from cur where k % 101 <> 0
+        |  union all
+        |  select cast(5000000 + n_nationkey as bigint) k,
+        |    round(n_nationkey + 0.5, 2) v from nation),
+        |d as (select coalesce(c.k, n.k) k,
+        |    case when n.k is null then 'removed'
+        |      when c.k is null then 'added'
+        |      when c.v is distinct from n.v then 'changed'
+        |      else 'unchanged' end status,
+        |    c.v v_old, n.v v_new
+        |  from cur c full outer join nxt n on c.k = n.k)
+        |select k, status, v_old, v_new from d
+        |where status <> 'unchanged' order by k limit 200""".stripMargin,
+
+    // E-91: quality recomputed (the ext_quality formula), then the
+    // identical (quality, doc_id) rank within source.
+    "ext_qnorm" ->
+      """with f as (select doc_id, source,
+        |  cast(len(list_filter(string_split(text,' '), t -> t <> '')) as double) nt,
+        |  cast(len(list_filter(string_split(text,' '),
+        |    t -> t in ('the','a','of','and','to','in','is','on','for','with'))) as double) nstop,
+        |  cast(len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) as double) nd,
+        |  cast(length(text) as double) nc,
+        |  cast(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) as double) nalnum
+        |  from documents),
+        |q as (select doc_id, source,
+        |  round(case when nt > 0 then
+        |    least(cast(1.0 as double), nt / cast(100.0 as double)) * cast(0.4 as double)
+        |    + (nd / nt) * cast(0.3 as double)
+        |    + (cast(1.0 as double) - nstop / nt) * cast(0.2 as double)
+        |    + (case when nc > 0 then nalnum / nc else 0 end) * cast(0.1 as double)
+        |  else 0 end, 4) quality
+        |  from f),
+        |r as (select doc_id, source, quality,
+        |    count(*) over (partition by source) n,
+        |    row_number() over (partition by source
+        |      order by quality, doc_id) rn
+        |  from q)
+        |select doc_id, source, quality,
+        |  round(case when n > 1 then (rn - 1) / cast(n - 1 as double)
+        |    else 0.5 end, 4) pr
+        |from r order by doc_id limit 200""".stripMargin,
+
+    // E-92: the identical sha256 ring (lowercase hex on both engines).
+    "ext_negpairs" ->
+      """with h as (select doc_id,
+        |    sha256('ring:' || cast(doc_id as varchar)) h from documents),
+        |p as (select doc_id,
+        |    coalesce(lead(doc_id) over (order by h, doc_id),
+        |      first_value(doc_id) over (order by h, doc_id
+        |        rows between unbounded preceding and unbounded following))
+        |      partner
+        |  from h)
+        |select doc_id, partner from p order by doc_id""".stripMargin,
+
     // E-78: the same sort-filter skyline over the per-date aggregate.
     "ext_skyline" ->
       """with g as (select o_orderdate d, round(max(o_totalprice), 2) best

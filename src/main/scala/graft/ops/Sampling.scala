@@ -64,4 +64,30 @@ object Sampling {
       .orderBy(desc("__wk"))
       .limit(k)
       .drop("__wk")
+
+  /** Hash-ring negative pairing (E-92): each key is paired with its
+    * successor on the sha256 ring (the last wraps to the first) — a
+    * deterministic, RNG-free way to draw one "uniformly random" partner
+    * per row for contrastive negatives, shuffling controls, or
+    * A/B partner assignment, WITHOUT a cross join: the hash order is
+    * uncorrelated with any data attribute, and successor-pairing makes
+    * every key appear exactly once on each side.
+    *
+    * This exact form uses one global sort window (fine to ~10⁸ keys);
+    * at 100 TB, ring within hash-bucket partitions — mod-N bucketing
+    * preserves both uniformity and the exactly-once property per
+    * bucket.
+    *
+    * @return (key, partner)
+    */
+  def ringPairs(df: DataFrame, key: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__h", "__k")
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.select(key.as("__k"), hashOf(concat(lit("ring:"), key)).as("__h"))
+      .withColumn("partner",
+        coalesce(lead(col("__k"), 1).over(w), first(col("__k")).over(wAll)))
+      .select(col("__k").as("key"), col("partner"))
+  }
 }

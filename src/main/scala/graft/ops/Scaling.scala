@@ -30,4 +30,27 @@ object Scaling {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("z")))),
         e => e.getField("z")).as("scaled"))
   }
+
+  /** Percentile-rank normalization WITHIN groups (E-91): score →
+    * (rank − 1) ∕ (n − 1) ∈ [0, 1] per group — the calibration step
+    * before comparing or mixing quality scores across domains whose
+    * raw scales differ (source A's 0.7 might be source B's 0.4). Rank
+    * is row_number over (score, tiebreak), so ties resolve identically
+    * in any engine; a 1-row group maps to 0.5 (no spread to rank
+    * within). One window shuffle keyed on the group.
+    */
+  def percentileRank(df: DataFrame, group: org.apache.spark.sql.Column,
+      score: org.apache.spark.sql.Column,
+      tiebreak: org.apache.spark.sql.Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("graft_pr_g").orderBy(score, tiebreak)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("graft_pr_g")
+    df.withColumn("graft_pr_g", group)
+      .withColumn("graft_pr_n", count(lit(1)).over(wN))
+      .withColumn("pr",
+        when(col("graft_pr_n") > 1,
+          (row_number().over(w) - 1).cast("double")
+            / (col("graft_pr_n") - 1)).otherwise(lit(0.5)))
+      .drop("graft_pr_g", "graft_pr_n")
+  }
 }
