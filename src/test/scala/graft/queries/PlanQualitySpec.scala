@@ -151,6 +151,34 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"scale-unsafe join shapes in: ${offenders.mkString(", ")}")
   }
 
+  test("round-4 operators keep scale-safe join shapes") {
+    // ext_phrase: k-term phrase = exactly k−1 keyed joins over pruned
+    // postings — never a nested loop
+    val phrase = graft.ops.ExtensionQueries2.extPhrase(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    val joinCount = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(j => j.r.findAllIn(phrase).length).sum
+    assert(joinCount == 2, s"3-term phrase should plan 2 keyed joins, got $joinCount")
+    assert(!phrase.contains("BroadcastNestedLoopJoin"))
+    // ext_geo_join: the candidate side broadcasts; the join is ON THE
+    // CELL (equi), haversine evaluated post-join
+    val geo = graft.ops.ExtensionQueries2.extGeoJoin(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(geo.contains("BroadcastHashJoin"),
+      s"supplier cells should broadcast:\n${geo.take(1500)}")
+    assert(!geo.contains("CartesianProduct") && !geo.contains("BroadcastNestedLoopJoin"),
+      "geo join must stay cell-blocked, never a cross product")
+    // ext_pmi: both vocabulary probability joins broadcast
+    val pmi = graft.ops.ExtensionQueries2.extPmi(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(pmi).length >= 2,
+      s"unigram tables should broadcast twice:\n${pmi.take(1500)}")
+    // ext_tablediff: version diff is ONE full-outer keyed join
+    val diff = graft.ops.ExtensionQueries2.extTableDiff(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(diff.contains("FullOuter"), "diff must plan a full-outer join")
+  }
+
   test("B10 native cosine is in the plan; codegen compiles it in a projection") {
     val df = ContractQueries.b10(spark, sf001)
     val s = df.queryExecution.sparkPlan.toString
