@@ -682,7 +682,30 @@ object ExtensionQueries2 {
       .select(col("key").as("doc_id"), col("partner"))
       .orderBy("doc_id")
 
+  // ---- E-95 length-balanced resampling -----------------------------------------
+  // Mixture resampling with a COMPUTED domain: token-length bin
+  // (20-token buckets, capped at 4) with equal quotas — the
+  // "length-balance the batch" step that stops short docs from
+  // dominating a token-budgeted corpus. Reuses E-50's machinery, so
+  // the draw stays RNG-free and engine-reproducible; under-filled
+  // bins contribute everything they have.
+  def extLenBalance(s: SparkSession, dir: String): DataFrame = {
+    val lbin = least(
+        floor(size(filter(split(col("text"), " "), x => x =!= "")) / 20),
+        lit(4L))
+      .cast("string")
+    Mixture.resampleToMixture(
+        t(s, dir, "documents").withColumn("lbin", lbin),
+        domain = col("lbin"), key = col("doc_id"),
+        weights = Map("0" -> 1.0, "1" -> 1.0, "2" -> 1.0, "3" -> 1.0,
+          "4" -> 1.0),
+        total = 50)
+      .select(col("doc_id"), col("lbin"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_lenbalance" -> (extLenBalance _),
     "ext_tablediff" -> (extTableDiff _),
     "ext_qnorm" -> (extQnorm _),
     "ext_negpairs" -> (extNegPairs _),
@@ -722,6 +745,19 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    // E-95: the identical computed bin + sha rank with quota 10 per bin
+    // (floor(50/5)).
+    "ext_lenbalance" ->
+      """with d as (select doc_id,
+        |    cast(least(cast(len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) // 20 as bigint), 4) as varchar) lbin
+        |  from documents),
+        |r as (select doc_id, lbin,
+        |    row_number() over (partition by lbin
+        |      order by sha256(cast(doc_id as varchar)), doc_id) rn
+        |  from d)
+        |select doc_id, lbin from r where rn <= 10 order by doc_id""".stripMargin,
+
     // E-88: the same synthetic next-version + full-outer classification.
     "ext_tablediff" ->
       """with cur as (select c_custkey k, round(c_acctbal, 2) v from customer),

@@ -78,8 +78,36 @@ object ContractQueries5 {
       .orderBy("o_orderkey")
       .limit(100)
 
+  // ---- Q115 malformed-CSV handling modes (S-18) -------------------------------
+  // Real-world ingest robustness: nation serialized to CSV with three
+  // crafted malformed lines appended (wrong arity, unparseable ints);
+  // reading with an explicit schema in DROPMALFORMED mode must yield
+  // exactly the clean rows — the oracle aggregates the original table.
+  // (PERMISSIVE mode's corrupt-record accounting for the same file is
+  // pinned in CsvModesSpec: exactly 3 quarantined lines.)
+  def q115BadCsv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"/tmp/graft_badcsv_${math.abs(dir.hashCode)}"
+    val clean = t(s, dir, "nation")
+      .select(concat_ws(",", col("n_nationkey"), col("n_name"),
+        col("n_regionkey")))
+      .as[String].collect() // 25 rows — bounded fixture write
+    s.createDataset(
+        clean.toSeq ++ Seq("not,a", "x,y,z", "99,BAD,notanint"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    s.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .option("mode", "DROPMALFORMED")
+      .csv(tmp)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), min("n_name").as("mn"),
+        sum("n_nationkey").as("sk"))
+      .orderBy("n_regionkey")
+  }
+
   /** Round-4 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_badcsv" -> (q115BadCsv _),
     "q111_rollrange" -> (q111RollRange _),
     "q112_boolagg" -> (q112BoolAgg _),
     "q113_str3" -> (q113Str3 _),

@@ -6,6 +6,14 @@ package graft.queries
 object OracleSql5 {
 
   val all: Map[String, String] = Map(
+    // q115: the crafted malformed lines never reach the result, so the
+    // oracle is the original table's rollup.
+    "q115_badcsv" ->
+      """select cast(n_regionkey as bigint) n_regionkey,
+        |  cast(count(*) as bigint) n, min(n_name) mn,
+        |  cast(sum(n_nationkey) as bigint) sk
+        |from nation group by 1 order by 1""".stripMargin,
+
     "q111_rollrange" ->
       """with x as (select o_custkey,
         |    cast(date_diff('day', timestamp '1995-01-01', o_orderdate)
