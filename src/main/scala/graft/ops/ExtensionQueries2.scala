@@ -704,7 +704,82 @@ object ExtensionQueries2 {
       .orderBy("doc_id")
   }
 
+  // ---- E-96 Monroe log-odds token comparison -----------------------------------
+  // "What words distinguish src0 from src1" done right (Monroe et al.
+  // 2008): log-odds-ratio with an informative Dirichlet prior drawn
+  // from the whole corpus, z-scored by the delta's approximate
+  // variance — the statistically honest alternative to raw frequency
+  // ratios (which explode on rare tokens). All counts exact; rank on
+  // the ROUNDED z with the token as tiebreak.
+  def extLogOdds(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
+    val a0 = 100.0
+    val counts = toks
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy("tok")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("y1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("y2"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val prior = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("aw", lit(a0) * col("f") / sum("f").over(wAll))
+    counts.join(broadcast(prior.select(col("tok"), col("aw"))), "tok")
+      .withColumn("n1", sum("y1").over(wAll))
+      .withColumn("n2", sum("y2").over(wAll))
+      .withColumn("d",
+        log((col("y1") + col("aw"))
+            / (col("n1") + lit(a0) - col("y1") - col("aw")))
+          - log((col("y2") + col("aw"))
+            / (col("n2") + lit(a0) - col("y2") - col("aw"))))
+      .withColumn("z", round(col("d")
+        / sqrt(lit(1.0) / (col("y1") + col("aw"))
+          + lit(1.0) / (col("y2") + col("aw"))), 4))
+      .select(col("tok"), col("y1"), col("y2"), col("z"))
+      .orderBy(desc("z"), asc("tok"))
+      .limit(20)
+  }
+
+  // ---- E-97 Zipf rank-frequency fit ---------------------------------------------
+  // Vocabulary health check: regress ln(freq) on ln(rank) — natural
+  // corpora sit near slope −1; a synthetic/duplicated corpus does not.
+  // Rank is (freq desc, token) row_number, so ties are pinned; the
+  // regression runs over the vocab-sized table.
+  def extZipf(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("f"), asc("tok"))))
+    freq.agg(
+      count(lit(1)).as("n_types"),
+      round(expr("regr_slope(ln(f), ln(rnk))"), 4).as("slope"),
+      round(expr("regr_intercept(ln(f), ln(rnk))"), 4).as("icept"),
+      round(expr("regr_r2(ln(f), ln(rnk))"), 4).as("r2"))
+  }
+
+  // ---- E-98 vocabulary growth (Heaps' law probe) --------------------------------
+  // Distinct-type count after the first 100/200/.../500 documents —
+  // computed WITHOUT an inequality join: each token's first-occurrence
+  // doc (min doc_id) feeds five conditional sums in one aggregate.
+  def extVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("m"))
+    firstSeen.agg(
+      sum(when(col("m") < 100, 1L).otherwise(0L)).as("v100"),
+      sum(when(col("m") < 200, 1L).otherwise(0L)).as("v200"),
+      sum(when(col("m") < 300, 1L).otherwise(0L)).as("v300"),
+      sum(when(col("m") < 400, 1L).otherwise(0L)).as("v400"),
+      sum(when(col("m") < 500, 1L).otherwise(0L)).as("v500"),
+      count(lit(1)).as("v_all"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_logodds" -> (extLogOdds _),
+    "ext_zipf" -> (extZipf _),
+    "ext_vocabgrowth" -> (extVocabGrowth _),
     "ext_lenbalance" -> (extLenBalance _),
     "ext_tablediff" -> (extTableDiff _),
     "ext_qnorm" -> (extQnorm _),
@@ -745,6 +820,56 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    // E-96: identical Dirichlet-prior log-odds arithmetic, rank on the
+    // rounded z.
+    "ext_logodds" ->
+      """with toks as (select source,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) tok
+        |  from documents),
+        |c as (select tok,
+        |    sum(case when source = 'src0' then 1 else 0 end) y1,
+        |    sum(case when source = 'src1' then 1 else 0 end) y2
+        |  from toks where source in ('src0', 'src1') group by 1),
+        |pri as (select tok, 100.0 * count(*) / (sum(count(*)) over ()) aw
+        |  from toks group by 1),
+        |j as (select c.tok, y1, y2, aw,
+        |    sum(y1) over () n1, sum(y2) over () n2
+        |  from c join pri on c.tok = pri.tok),
+        |z as (select tok, y1, y2,
+        |    round((ln((y1 + aw) / (n1 + 100.0 - y1 - aw))
+        |      - ln((y2 + aw) / (n2 + 100.0 - y2 - aw)))
+        |      / sqrt(1.0 / (y1 + aw) + 1.0 / (y2 + aw)), 4) z
+        |  from j)
+        |select tok, cast(y1 as bigint) y1, cast(y2 as bigint) y2, z
+        |from z order by z desc, tok limit 20""".stripMargin,
+
+    // E-97: same (freq desc, token) rank, DuckDB's native regr_* over
+    // the identical log pairs.
+    "ext_zipf" ->
+      """with f as (select tok, count(*) f from (select
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) tok
+        |  from documents) group by 1),
+        |r as (select f, row_number() over (order by f desc, tok) rnk from f)
+        |select cast(count(*) as bigint) n_types,
+        |  round(regr_slope(ln(f), ln(rnk)), 4) slope,
+        |  round(regr_intercept(ln(f), ln(rnk)), 4) icept,
+        |  round(regr_r2(ln(f), ln(rnk)), 4) r2
+        |from r""".stripMargin,
+
+    // E-98: per-token first-seen doc, five conditional sums.
+    "ext_vocabgrowth" ->
+      """with fs as (select tok, min(doc_id) m from (select doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) tok
+        |  from documents) group by 1)
+        |select
+        |  cast(sum(case when m < 100 then 1 else 0 end) as bigint) v100,
+        |  cast(sum(case when m < 200 then 1 else 0 end) as bigint) v200,
+        |  cast(sum(case when m < 300 then 1 else 0 end) as bigint) v300,
+        |  cast(sum(case when m < 400 then 1 else 0 end) as bigint) v400,
+        |  cast(sum(case when m < 500 then 1 else 0 end) as bigint) v500,
+        |  cast(count(*) as bigint) v_all
+        |from fs""".stripMargin,
+
     // E-95: the identical computed bin + sha rank with quota 10 per bin
     // (floor(50/5)).
     "ext_lenbalance" ->
