@@ -93,7 +93,42 @@ object PerfLab {
       "ext_decontaminate" -> (() =>
         graft.ops.ExtensionQueries2.extDecontaminate(spark, sfDir)),
       "ext_repetition" -> (() =>
-        graft.ops.ExtensionQueries2.extRepetition(spark, sfDir)))
+        graft.ops.ExtensionQueries2.extRepetition(spark, sfDir)),
+      // round-4 join-geometry ops: the blocked/pruned production shapes
+      // vs their quadratic strawmen
+      "geo_blocked" -> (() =>
+        graft.ops.ExtensionQueries2.extGeoJoin(spark, sfDir)),
+      "geo_brute" -> (() => {
+        import org.apache.spark.sql.functions._
+        val probes = Tables.table(spark, sfDir, "customer")
+          .select(col("c_custkey").as("probe_id"),
+            (lit(40.0) + (col("c_custkey") * 37 % 500) / 100.0).as("lat"),
+            ((col("c_custkey") * 101 % 500) / 100.0).as("lon"))
+        val cands = Tables.table(spark, sfDir, "supplier")
+          .select(col("s_suppkey").as("cand_id"),
+            (lit(40.0) + (col("s_suppkey") * 53 % 500) / 100.0).as("clat"),
+            ((col("s_suppkey") * 71 % 500) / 100.0).as("clon"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy("dist_km", "cand_id")
+        probes.crossJoin(cands)
+          .select(col("probe_id"), col("cand_id"),
+            round(graft.ops.GeoJoin.haversineKm(col("lat"), col("lon"),
+              col("clat"), col("clon")), 3).as("dist_km"))
+          .filter(col("dist_km") <= 60.0)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }),
+      "phrase_postings" -> (() =>
+        graft.ops.ExtensionQueries2.extPhrase(spark, sfDir)),
+      "phrase_regex_scan" -> (() => {
+        import org.apache.spark.sql.functions._
+        // the naive formulation: full-text LIKE scan + per-doc count
+        Tables.table(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            (size(split(col("text"), " big order scan ", -1)) - 1).as("n_hits"))
+          .filter(col("n_hits") > 0)
+      }),
+      "ext_pmi" -> (() =>
+        graft.ops.ExtensionQueries2.extPmi(spark, sfDir)))
 
     // scan-split experiment: same b1, smaller max partition bytes
     def timed(fn: () => DataFrame): Double = {
