@@ -776,7 +776,27 @@ object ExtensionQueries2 {
       count(lit(1)).as("v_all"))
   }
 
+  // ---- E-99 token-budget quality selection --------------------------------------
+  // "Fill a 5 000-token budget with the best documents": quality-desc
+  // cumulative token sum, cut at the budget — the greedy coreset every
+  // token-budgeted training run uses. The global sort window runs over
+  // doc-count rows; at corpus scale the same cut comes from a quality-
+  // histogram threshold (two passes, no global sort) — this is its
+  // exact form and oracle.
+  def extBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= 5000)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_budget" -> (extBudget _),
     "ext_logodds" -> (extLogOdds _),
     "ext_zipf" -> (extZipf _),
     "ext_vocabgrowth" -> (extVocabGrowth _),
@@ -820,6 +840,32 @@ object ExtensionQueries2 {
     "ext_bfs" -> (extBfs _))
 
   val oracleSql: Map[String, String] = Map(
+    // E-99: the quality formula (ext_quality's CTE) + the identical
+    // quality-desc cumulative cut.
+    "ext_budget" ->
+      """with f as (select doc_id,
+        |  cast(len(list_filter(string_split(text,' '), t -> t <> '')) as double) nt,
+        |  cast(len(list_filter(string_split(text,' '),
+        |    t -> t in ('the','a','of','and','to','in','is','on','for','with'))) as double) nstop,
+        |  cast(len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) as double) nd,
+        |  cast(length(text) as double) nc,
+        |  cast(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) as double) nalnum
+        |  from documents),
+        |q as (select doc_id, cast(nt as bigint) n_tokens,
+        |  round(case when nt > 0 then
+        |    least(cast(1.0 as double), nt / cast(100.0 as double)) * cast(0.4 as double)
+        |    + (nd / nt) * cast(0.3 as double)
+        |    + (cast(1.0 as double) - nstop / nt) * cast(0.2 as double)
+        |    + (case when nc > 0 then nalnum / nc else 0 end) * cast(0.1 as double)
+        |  else 0 end, 4) quality
+        |  from f),
+        |c as (select doc_id, n_tokens, quality,
+        |    sum(n_tokens) over (order by quality desc, doc_id
+        |      rows unbounded preceding) cum
+        |  from q)
+        |select doc_id, n_tokens, quality, cast(cum as bigint) cum
+        |from c where cum <= 5000 order by doc_id""".stripMargin,
+
     // E-96: identical Dirichlet-prior log-odds arithmetic, rank on the
     // rounded z.
     "ext_logodds" ->

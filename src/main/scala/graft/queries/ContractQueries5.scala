@@ -105,8 +105,53 @@ object ContractQueries5 {
       .orderBy("n_regionkey")
   }
 
+  // ---- Q116 catalog schema evolution (S-19) -----------------------------------
+  // ALTER TABLE ADD COLUMNS on a managed parquet table + INSERT with an
+  // explicit (reordered) column list: pre-evolution rows read back
+  // null-filled in the new column, the column-list insert routes values
+  // by NAME not position — the two catalog-DDL traps q83/q87 don't
+  // cover.
+  def q116Alter(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.SqlMerge.dropManaged(s, "graft_alter_t")
+    t(s, dir, "nation").createOrReplaceTempView("graft_alter_src")
+    s.sql("""CREATE TABLE graft_alter_t USING parquet AS
+             SELECT n_nationkey, n_name FROM graft_alter_src""")
+    s.sql("ALTER TABLE graft_alter_t ADD COLUMNS (pop BIGINT)")
+    s.sql("""INSERT INTO graft_alter_t (pop, n_nationkey, n_name)
+             VALUES (777, 99, 'NEWLAND')""")
+    s.sql("""SELECT cast(n_nationkey AS bigint) n_nationkey, n_name,
+             cast(pop AS bigint) pop FROM graft_alter_t
+             ORDER BY n_nationkey""")
+  }
+
+  // ---- Q117 MERGE with delete condition (OP-MERGE-DEL) ------------------------
+  // The delete arm of sources.SqlMerge through the driver gate (q110
+  // covers update/insert/keep): updates with a negative balance DELETE
+  // the matched row instead of updating it.
+  def q117MergeDel(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.SqlMerge.dropManaged(s, "graft_mdel_t")
+    t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("bal"))
+      .createOrReplaceTempView("graft_mdel_snap")
+    s.sql("""CREATE TABLE graft_mdel_t USING parquet AS
+             SELECT * FROM graft_mdel_snap""")
+    // keys %3==0: marked for deletion (bal -1); keys %7==0 (not %3):
+    // updated to 0.5
+    t(s, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 3 === 0, lit(-1.0))
+          .otherwise(lit(0.5)).as("bal"))
+      .filter(col("k") % 3 === 0 || col("k") % 7 === 0)
+      .createOrReplaceTempView("graft_mdel_upd")
+    graft.sources.SqlMerge.mergeInto(s, "graft_mdel_t", "graft_mdel_upd",
+      "k", Seq("bal"), deleteCondition = Some("s.bal < 0"))
+    s.sql("""SELECT k, bal FROM graft_mdel_t ORDER BY k LIMIT 200""")
+  }
+
   /** Round-4 contract queries keyed by id. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_alter" -> (q116Alter _),
+    "q117_merge_del" -> (q117MergeDel _),
     "q115_badcsv" -> (q115BadCsv _),
     "q111_rollrange" -> (q111RollRange _),
     "q112_boolagg" -> (q112BoolAgg _),

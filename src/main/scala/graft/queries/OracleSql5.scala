@@ -6,6 +6,26 @@ package graft.queries
 object OracleSql5 {
 
   val all: Map[String, String] = Map(
+    // q116: the evolved table = old rows null-filled + the one
+    // name-routed insert.
+    "q116_alter" ->
+      """select cast(n_nationkey as bigint) n_nationkey, n_name,
+        |  cast(null as bigint) pop from nation
+        |union all
+        |select cast(99 as bigint), 'NEWLAND', cast(777 as bigint)
+        |order by n_nationkey""".stripMargin,
+
+    // q117: the merge-with-delete replayed relationally — %3 keys
+    // vanish, %7 (non-%3) keys become 0.5, everything else keeps its
+    // balance.
+    "q117_merge_del" ->
+      """select c_custkey k,
+        |  case when c_custkey % 7 = 0 then 0.5
+        |    else round(c_acctbal, 2) end bal
+        |from customer
+        |where c_custkey % 3 <> 0
+        |order by k limit 200""".stripMargin,
+
     // q115: the crafted malformed lines never reach the result, so the
     // oracle is the original table's rollup.
     "q115_badcsv" ->
