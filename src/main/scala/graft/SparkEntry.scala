@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.ContractQueries.all ++ graft.queries.ContractQueries2.all ++
       graft.queries.ContractQueries3.all ++ graft.queries.ContractQueries4.all ++
       graft.queries.ContractQueries5.all ++
-      graft.ops.ExtensionQueries.all ++ graft.ops.ExtensionQueries2.all
+      graft.ops.ExtensionQueries.all ++ graft.ops.ExtensionQueries2.all ++
+      graft.ops.ExtensionQueries3.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.OracleSql.all ++ graft.queries.OracleSql2.all ++
       graft.queries.OracleSql3.all ++ graft.queries.OracleSql4.all ++
       graft.queries.OracleSql5.all ++
-      graft.ops.ExtensionQueries.oracleSql ++ graft.ops.ExtensionQueries2.oracleSql
+      graft.ops.ExtensionQueries.oracleSql ++ graft.ops.ExtensionQueries2.oracleSql ++
+      graft.ops.ExtensionQueries3.oracleSql
 }
