@@ -158,6 +158,15 @@ object GraftFunctions {
   val simhash64Info: ExpressionInfo = new ExpressionInfo(
     classOf[SimHash64].getCanonicalName, "simhash64")
 
+  val jaroWinklerBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"jaro_winkler expects 2 args, got ${children.length}")
+    JaroWinkler(children(0), children(1))
+  }
+
+  val jaroWinklerInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getCanonicalName, "jaro_winkler")
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -170,6 +179,8 @@ object GraftFunctions {
       "sorted_long_jaccard", sortedLongJaccardBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", simhash64Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", jaroWinklerBuilder, "built-in")
   }
 }
 
@@ -189,6 +200,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.sortedLongJaccardInfo, GraftFunctions.sortedLongJaccardBuilder))
     ext.injectFunction((new FunctionIdentifier("simhash64"),
       GraftFunctions.simhash64Info, GraftFunctions.simhash64Builder))
+    ext.injectFunction((new FunctionIdentifier("jaro_winkler"),
+      GraftFunctions.jaroWinklerInfo, GraftFunctions.jaroWinklerBuilder))
     // Bloom semi-join reduction pair (ops.BloomJoin) — injected here too
     // so SQL-text sessions get the same surface as the imperative path.
     ext.injectFunction((new FunctionIdentifier("graft_bloom_agg"),

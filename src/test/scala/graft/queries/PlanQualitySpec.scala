@@ -137,7 +137,9 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_subsample",        // tokens × broadcast(1-row corpus total)
       "ext_ndcg",             // corpus × broadcast(6 probes) — the
                               // ext_embed_topk probe pattern
-      "ext_ctfidf")           // tf × broadcast(1-row group count)
+      "ext_ctfidf",           // tf × broadcast(1-row group count)
+      "ext_tfidf_topk",       // tf × broadcast(1-row total-doc count)
+      "ext_burstiness")       // per-token stats × broadcast(1-row doc count)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
