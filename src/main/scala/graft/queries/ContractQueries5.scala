@@ -149,7 +149,36 @@ object ContractQueries5 {
   }
 
   /** Round-4 contract queries keyed by id. */
+  // ---- Q118 versioned table time travel (S-20) -------------------------------
+  // Snapshot-isolated versioned parquet (sources.VersionedTable):
+  // v0 = customer balances, v1 = +100 credit for custkey <= 50 (built
+  // by READING v0 back), v2 = every-7th customer deleted (built from
+  // v1). The gate reads all three pinned versions after the fact —
+  // deleted rows must still be visible at v0/v1 and gone at v2 — and
+  // the oracle replays the version chain relationally.
+  def q118TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = s.conf.get("spark.sql.warehouse.dir") + "/graft_versioned_demo"
+    graft.sources.VersionedTable.drop(s, path)
+    val v0 = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("bal"))
+    graft.sources.VersionedTable.commit(s, path, v0)
+    val v1 = graft.sources.VersionedTable.read(s, path, 0)
+      .select(col("k"),
+        when(col("k") <= 50, round(col("bal") + 100.0, 2))
+          .otherwise(col("bal")).as("bal"))
+    graft.sources.VersionedTable.commit(s, path, v1)
+    val v2 = graft.sources.VersionedTable.read(s, path, 1)
+      .filter(col("k") % 7 =!= 0)
+    graft.sources.VersionedTable.commit(s, path, v2)
+    (0 to 2).map { v =>
+      graft.sources.VersionedTable.read(s, path, v)
+        .filter(col("k") <= 20)
+        .select(lit(v.toLong).as("ver"), col("k"), col("bal"))
+    }.reduce(_.unionAll(_)).orderBy("ver", "k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_timetravel" -> (q118TimeTravel _),
     "q116_alter" -> (q116Alter _),
     "q117_merge_del" -> (q117MergeDel _),
     "q115_badcsv" -> (q115BadCsv _),

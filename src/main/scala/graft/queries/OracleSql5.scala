@@ -74,5 +74,17 @@ object OracleSql5 {
         |  cast(quarter(o_orderdate) as bigint) q,
         |  cast(dayofweek(o_orderdate) + 1 as bigint) dow1
         |from orders where o_custkey <= 50
-        |order by o_orderkey limit 100""".stripMargin)
+        |order by o_orderkey limit 100""".stripMargin,
+
+    // q118: the version chain replayed relationally — the engine side
+    // must reproduce it by READING each pinned parquet version.
+    "q118_timetravel" ->
+      """with v0 as (select c_custkey k, round(c_acctbal, 2) bal from customer),
+        |v1 as (select k, case when k <= 50 then round(bal + 100.0, 2)
+        |    else bal end bal from v0),
+        |v2 as (select * from v1 where k % 7 <> 0)
+        |select cast(0 as bigint) ver, k, bal from v0 where k <= 20
+        |union all select 1, k, bal from v1 where k <= 20
+        |union all select 2, k, bal from v2 where k <= 20
+        |order by ver, k""".stripMargin)
 }
