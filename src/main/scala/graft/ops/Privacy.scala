@@ -24,4 +24,22 @@ object Privacy {
       .select(quasi.map(col): _*)
     df.join(safe, quasi, "left_semi")
   }
+
+  /** l-diversity audit (E-120): k-anonymity's necessary complement —
+    * a group can be k-anonymous yet leak its sensitive attribute when
+    * every member shares one value (the homogeneity attack). Reports,
+    * per quasi-identifier group of size ≥ k, the number of DISTINCT
+    * sensitive values l and whether it clears the `l` floor.
+    *
+    * Scale shape: one groupBy on the quasi columns with
+    * count + count_distinct — a single keyed shuffle; the distinct
+    * count is exact (release gating must not be approximate).
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+      k: Long, l: Long): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("l"))
+      .filter(col("n") >= k)
+      .withColumn("diverse", col("l") >= l)
 }

@@ -90,4 +90,16 @@ object Sampling {
         coalesce(lead(col("__k"), 1).over(w), first(col("__k")).over(wAll)))
       .select(col("__k").as("key"), col("partner"))
   }
+
+  /** Deterministic k-fold assignment (E-122): fold = first 16 bits of
+    * sha256(key) mod k. The standard cross-validation / train-holdout
+    * split plumbing with the same guarantees as every sampler here —
+    * reproducible across engines and reruns, auditable per key, and a
+    * pure narrow projection (no shuffle, pushdown-friendly). 16 bits
+    * mod small k gives ≤0.003% deviation from uniform fold weights.
+    */
+  def foldAssign(key: Column, k: Int): Column = {
+    require(k >= 2 && k <= 1024)
+    conv(substring(hashOf(key), 1, 4), 16, 10).cast("long") % k
+  }
 }
