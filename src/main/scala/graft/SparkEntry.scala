@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.ContractQueries3.all ++ graft.queries.ContractQueries4.all ++
       graft.queries.ContractQueries5.all ++
       graft.ops.ExtensionQueries.all ++ graft.ops.ExtensionQueries2.all ++
-      graft.ops.ExtensionQueries3.all ++ graft.ops.ExtensionQueries4.all
+      graft.ops.ExtensionQueries3.all ++ graft.ops.ExtensionQueries4.all ++
+      graft.ops.ExtensionQueries5.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.OracleSql3.all ++ graft.queries.OracleSql4.all ++
       graft.queries.OracleSql5.all ++
       graft.ops.ExtensionQueries.oracleSql ++ graft.ops.ExtensionQueries2.oracleSql ++
-      graft.ops.ExtensionQueries3.oracleSql ++ graft.ops.ExtensionQueries4.oracleSql
+      graft.ops.ExtensionQueries3.oracleSql ++ graft.ops.ExtensionQueries4.oracleSql ++
+      graft.ops.ExtensionQueries5.oracleSql
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity audit (E-121): for each declared foreign-key
@@ -36,4 +36,34 @@ object Audit {
         .select(lit(e.name).as("edge"), col("total_rows"), col("orphans"),
           (col("orphans").cast("double") / col("total_rows")).as("orphan_pct"))
     }.reduce(_ unionAll _)
+
+  /** Benford first-digit audit (E-126): the fraud/fabrication screen —
+    * naturally-occurring multiplicative amounts put digit d first with
+    * probability log₁₀(1 + 1∕d); fabricated or constrained data do not.
+    * Reports the observed vs expected share per digit 1–9 and the
+    * Pearson χ² = N·Σ (obs−exp)²∕exp as a constant column.
+    *
+    * Determinism: the first digit comes from the DECIMAL STRING of the
+    * positive integer `valueFixed` (fixed-point, e.g. cents) — no
+    * log10-of-float boundary can misclassify 999.99…; expected shares
+    * are log10 on exact small rationals, identical on both engines.
+    * One groupBy over the scan; the χ² window spans 9 rows.
+    *
+    * @return per observed digit: (digit, n, share, expected, chi2)
+    *         un-rounded
+    */
+  def benford(df: DataFrame, valueFixed: Column): DataFrame = {
+    val per = df.filter(valueFixed > 0)
+      .select(substring(valueFixed.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val share = col("n").cast("double") / sum(col("n")).over(wAll)
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit"))
+    per.select(col("digit"), col("n"), share.as("share"),
+        expected.as("expected"),
+        (sum(col("n")).over(wAll).cast("double") *
+          (share - expected) * (share - expected) / expected).as("__c"))
+      .withColumn("chi2", sum(col("__c")).over(wAll))
+      .drop("__c")
+  }
 }

@@ -83,4 +83,43 @@ object Eval {
     df.agg(count(lit(1)).as("n"), po.as("p_o"), pe.as("p_e"),
       ((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
+
+  /** Calibration / reliability bins (E-127): does a score of 0.8 mean
+    * an 80% positive rate? Scores in [−1, 1] (cosine convention) are
+    * cut into nBins equal bins; each bin reports its count, positive
+    * rate, and mean score, plus the expected calibration error
+    * ECE = Σ_b (n_b∕N)·|pos_rate_b − mean01_b| as a constant column
+    * (mean01 = the bin's mean score mapped to [0,1] so both terms live
+    * on the probability scale).
+    *
+    * Determinism: the mean score per bin sums ROUND(score·10⁶) longs —
+    * exact integer aggregation, no FP order dependence — and the ECE
+    * folds over ≤ nBins rows of settled doubles. One keyed aggregate
+    * over the scored set; the ECE window spans nBins rows, not data.
+    *
+    * @return per non-empty bin: (bin, n, n_pos, pos_rate, mean_score, ece)
+    *         un-rounded
+    */
+  def calibration(df: DataFrame, score: Column, isPositive: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2)
+    val s6 = round(score * 1e6).cast("long") // fixed-point, exact sums
+    val bin = least(greatest(
+      floor((score + 1.0) / 2.0 * nBins).cast("long"), lit(0L)), lit(nBins - 1L))
+    val per = df.select(bin.as("bin"), s6.as("s6"),
+        when(isPositive, 1L).otherwise(0L).as("p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("n_pos"),
+        sum(col("s6")).as("ss6"))
+    val posRate = col("n_pos").cast("double") / col("n")
+    val mean = col("ss6").cast("double") / col("n") / 1e6
+    val mean01 = (mean + 1.0) / 2.0
+    val wAll = Window.partitionBy()
+    per.select(col("bin"), col("n"), col("n_pos"),
+        posRate.as("pos_rate"), mean.as("mean_score"),
+        (col("n").cast("double") / sum(col("n")).over(wAll) *
+          abs(posRate - mean01)).as("__e"))
+      .withColumn("ece", sum(col("__e")).over(wAll))
+      .drop("__e")
+  }
 }

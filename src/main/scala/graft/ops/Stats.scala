@@ -160,4 +160,65 @@ object Stats {
         sum(col("__v")).as("sum_v"),
         (sum(col("__v")).cast("double") / count(lit(1))).as("trimmed"))
   }
+
+  /** Exact cumulative probabilities P(Poisson(1) ≤ k), k = 0..6; mass
+    * above 7 (< 1e-4) is assigned to 7. Literal doubles so Spark and
+    * the SQL oracle parse bit-identical thresholds.
+    */
+  val poisson1Cdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * (E-125): the error bar that needs no distributional assumption,
+    * next to the delete-one jackknife (E-104). Each of `b` resamples
+    * gives row r multiplicity ~ Poisson(1) — the classic bootstrap
+    * approximation that never materializes a resample: multiplicity is
+    * a PURE FUNCTION of sha256(key ':' rep), so the draw is
+    * engine-reproducible, partitioning-independent, and auditable,
+    * like every sampler in [[Sampling]].
+    *
+    * Scale shape: one narrow explode to b·n rows (no shuffle), one
+    * keyed aggregate to b rows of exact integer (Σm, Σm·v), then the
+    * percentile pick orders b rows. The interval is the ⌈α·b⌉-th and
+    * ⌈(1−α)·b⌉-th smallest resample means — positional over b, no
+    * float percentile interpolation.
+    *
+    * @param valueFixed integer fixed-point measure
+    * @param alpha      e.g. 0.025 for a 95% interval
+    * @return one row: (reps, mean, ci_lo, ci_hi) — fixed-point units,
+    *         un-rounded
+    */
+  def bootstrapMeanCI(df: DataFrame, key: Column, valueFixed: Column,
+      b: Int, alpha: Double): DataFrame = {
+    require(b >= 40 && alpha > 0 && alpha < 0.5)
+    val rows = df.select(key.cast("string").as("__k"), valueFixed.as("__v"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+    // u = first 32 hash bits / 2^32: exact in double, uniform on [0,1)
+    val u = conv(substring(
+        sha2(concat(col("__k"), lit(":"), col("__b").cast("string")), 256),
+        1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
+    // reversed fold so the k=0 threshold is the OUTERMOST when — the
+    // chain must test the smallest threshold first
+    val mult = poisson1Cdf.zipWithIndex.reverse.foldLeft(lit(7)) {
+      case (acc, (t, k)) => when(u < t, k).otherwise(acc)
+    }
+    val means = rows.withColumn("__m", mult.cast("long"))
+      .groupBy("__b")
+      .agg(sum(col("__m")).as("__n"), sum(col("__m") * col("__v")).as("__s"))
+      .select(col("__b"),
+        (col("__s").cast("double") / col("__n")).as("__mean"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__mean"), col("__b")))) // b rows — tiny sort
+    val loIdx = math.ceil(alpha * b).toLong
+    val hiIdx = math.ceil((1 - alpha) * b).toLong
+    val full = df.agg(count(lit(1)).as("__cn"), sum(valueFixed).as("__cs"))
+      .select((col("__cs").cast("double") / col("__cn")).as("mean"))
+    full.crossJoin(
+        means.agg(
+          sum(when(col("__r") === loIdx, col("__mean"))).as("ci_lo"),
+          sum(when(col("__r") === hiIdx, col("__mean"))).as("ci_hi")))
+      .select(lit(b.toLong).as("reps"), col("mean"), col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -134,12 +134,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_bm25",             // tf × broadcast(1-row corpus stats)
       "ext_rrf",              // inherits ext_bm25's 1-row stats broadcast
       "ext_auc",              // corpus × broadcast(1-row centroid)
+      "ext_calibration",      // same scored set as ext_auc — 1-row centroid
       "ext_subsample",        // tokens × broadcast(1-row corpus total)
       "ext_ndcg",             // corpus × broadcast(6 probes) — the
                               // ext_embed_topk probe pattern
       "ext_ctfidf",           // tf × broadcast(1-row group count)
       "ext_tfidf_topk",       // tf × broadcast(1-row total-doc count)
-      "ext_burstiness")       // per-token stats × broadcast(1-row doc count)
+      "ext_burstiness",       // per-token stats × broadcast(1-row doc count)
+      "ext_fkaudit",          // per-edge 1-row total × 1-row orphan count
+      "ext_bootstrap")        // 1-row full mean × 1-row CI aggregate
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
