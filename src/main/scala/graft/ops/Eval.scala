@@ -84,6 +84,40 @@ object Eval {
       ((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** Decile gains / lift table (E-131): the targeting view of a
+    * ranking score — cut the scored population into nTiles equal
+    * buckets by descending score and report, per tile, the positive
+    * count, the cumulative capture rate (share of ALL positives found
+    * so far), and the lift over the base rate. ntile over a UNIQUE
+    * (score desc, tiebreak) order is positional, so both engines cut
+    * the identical row multiset.
+    *
+    * One sort-shuffle over the evaluation set (scores are
+    * evaluation-sized, not corpus-sized), then nTiles rows of exact
+    * integer arithmetic.
+    *
+    * @return per tile: (tile, n, pos, cum_pos, capture, lift) un-rounded
+    */
+  def gains(df: DataFrame, score: Column, isPositive: Column,
+      tiebreak: Column, nTiles: Int): DataFrame = {
+    require(nTiles >= 2)
+    val tiled = df.select(score.as("__s"),
+        when(isPositive, 1L).otherwise(0L).as("__p"), tiebreak.as("__t"))
+      .withColumn("tile", ntile(nTiles).over(
+        Window.orderBy(col("__s").desc, col("__t"))))
+    val per = tiled.groupBy("tile")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("pos"))
+    val wCum = Window.orderBy("tile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    per.withColumn("cum_pos", sum(col("pos")).over(wCum))
+      .withColumn("capture",
+        col("cum_pos").cast("double") / sum(col("pos")).over(wAll))
+      .withColumn("lift",
+        (col("pos").cast("double") / col("n")) /
+          (sum(col("pos")).over(wAll).cast("double") / sum(col("n")).over(wAll)))
+  }
+
   /** Calibration / reliability bins (E-127): does a score of 0.8 mean
     * an 80% positive rate? Scores in [−1, 1] (cosine convention) are
     * cut into nBins equal bins; each bin reports its count, positive

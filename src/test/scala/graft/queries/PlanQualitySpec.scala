@@ -142,7 +142,9 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_tfidf_topk",       // tf × broadcast(1-row total-doc count)
       "ext_burstiness",       // per-token stats × broadcast(1-row doc count)
       "ext_fkaudit",          // per-edge 1-row total × 1-row orphan count
-      "ext_bootstrap")        // 1-row full mean × 1-row CI aggregate
+      "ext_bootstrap",        // 1-row full mean × 1-row CI aggregate
+      "ext_gains",            // ext_auc's 1-row centroid broadcast
+      "ext_conformal")        // 1-row OLS fit + 1-row q-hat broadcasts
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
