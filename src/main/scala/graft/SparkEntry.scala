@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.ContractQueries5.all ++
       graft.ops.ExtensionQueries.all ++ graft.ops.ExtensionQueries2.all ++
       graft.ops.ExtensionQueries3.all ++ graft.ops.ExtensionQueries4.all ++
-      graft.ops.ExtensionQueries5.all ++ graft.ops.ExtensionQueries6.all
+      graft.ops.ExtensionQueries5.all ++ graft.ops.ExtensionQueries6.all ++
+      graft.ops.ExtensionQueries7.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.OracleSql5.all ++
       graft.ops.ExtensionQueries.oracleSql ++ graft.ops.ExtensionQueries2.oracleSql ++
       graft.ops.ExtensionQueries3.oracleSql ++ graft.ops.ExtensionQueries4.oracleSql ++
-      graft.ops.ExtensionQueries5.oracleSql ++ graft.ops.ExtensionQueries6.oracleSql
+      graft.ops.ExtensionQueries5.oracleSql ++ graft.ops.ExtensionQueries6.oracleSql ++
+      graft.ops.ExtensionQueries7.oracleSql
 }
