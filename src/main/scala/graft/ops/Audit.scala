@@ -49,13 +49,22 @@ object Audit {
     * are log10 on exact small rationals, identical on both engines.
     * One groupBy over the scan; the χ² window spans 9 rows.
     *
-    * @return per observed digit: (digit, n, share, expected, chi2)
-    *         un-rounded
+    * Observed counts are left-joined onto a literal 1–9 digit spine so
+    * an ABSENT digit still contributes its full N·p_d term (share 0 vs
+    * expected p_d) — exactly the degenerate/fabricated shapes the audit
+    * exists to flag. Without the spine the statistic was understated in
+    * those cases (a dropped (0−p_d)²∕p_d term per missing digit).
+    *
+    * @return one row per digit 1–9: (digit, n, share, expected, chi2)
+    *         un-rounded; n = 0 for digits never observed
     */
   def benford(df: DataFrame, valueFixed: Column): DataFrame = {
-    val per = df.filter(valueFixed > 0)
+    val observed = df.filter(valueFixed > 0)
       .select(substring(valueFixed.cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val per = spine.join(observed, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val share = col("n").cast("double") / sum(col("n")).over(wAll)
     val expected = log10(lit(1.0) + lit(1.0) / col("digit"))

@@ -81,8 +81,11 @@ object ExtensionQueries4 {
   // Outlier-robust per-nation account balance: drop the 5% tails by
   // unique (value, custkey) position, exact integer re-aggregate. The
   // mean is rounded to the nearest cent with INTEGER arithmetic
-  // ((2S+n) div 2n — half-up on the exact rational; sums here are
-  // positive so div ≡ floor-div): a double division first would sit on
+  // ((2S+n) div 2n — half-up on the exact rational). Negative sums are
+  // safe: Spark's `div` and DuckDB's integer `//` BOTH truncate toward
+  // zero (verified: -7 div 2 = -7 // 2 = -3, incl. HUGEINT operands),
+  // so the two engines agree on every sign — no floor/trunc divergence.
+  // A double division first would sit on
   // the half-cent boundary whenever n | 2S, where DuckDB's
   // multiply-then-nearbyint round and Spark's exact-decimal HALF_UP
   // legitimately disagree by one ulp (observed at sf0.01, NATION_24).
@@ -267,8 +270,10 @@ object ExtensionQueries4 {
         |from b""".stripMargin,
 
     // E-118: identical positional cut over the unique (v, custkey)
-    // order; nearest-cent mean via integer (2S+n)//(2n) — see the
-    // query comment on the half-cent boundary.
+    // order; nearest-cent mean via integer (2S+n)//(2n) — DuckDB's
+    // integer `//` truncates toward zero exactly like Spark's `div`
+    // (verified on BIGINT and HUGEINT), so negative balance sums
+    // round identically on both engines.
     "ext_trimmed" ->
       """with c as (select n_name,
         |    cast(round(c_acctbal * 100, 0) as bigint) v, c_custkey

@@ -161,12 +161,17 @@ object ExtensionQueries5 {
         |from f cross join rk group by mean""".stripMargin,
 
     // E-126: digit from the decimal string of exact cents; expected =
-    // log10(1 + 1/d); chi2 = N·Σ(share−exp)²/exp over the 9 rows.
+    // log10(1 + 1/d); chi2 = N·Σ(share−exp)²/exp over ALL 9 digits —
+    // the 1–9 spine keeps absent digits' N·p_d terms in the statistic,
+    // mirroring Audit.benford's spine join.
     "ext_benford" ->
       """with d as (select cast(substr(cast(cast(round(o_totalprice * 100, 0)
         |      as bigint) as varchar), 1, 1) as bigint) digit
         |  from orders where round(o_totalprice * 100, 0) > 0),
-        |g as (select digit, cast(count(*) as bigint) n from d group by 1),
+        |g0 as (select digit, cast(count(*) as bigint) n from d group by 1),
+        |sp as (select unnest(range(1, 10)) digit),
+        |g as (select sp.digit, cast(coalesce(g0.n, 0) as bigint) n
+        |  from sp left join g0 using (digit)),
         |e as (select digit, n,
         |    n / cast(sum(n) over () as double) as share,
         |    log10(1 + 1.0 / digit) as expected,

@@ -108,8 +108,9 @@ object ExtensionQueries8 {
         |  string_agg(id, ',' order by id) members
         |from comp group by component order by entity""".stripMargin,
 
-    // E-136: identical histogram product; top key via max(struct) ≡
-    // max-by with key tiebreak inside the struct order.
+    // E-136: identical histogram product; top key via a scalar subquery
+    // ordered (contrib desc, k desc) ≡ Spark's max(struct(contrib, k))
+    // tiebreak. (DuckDB 1.0.0 rejects max_by with a list second arg.)
     "ext_joincard" ->
       """with ca as (select l_orderkey k, cast(count(*) as bigint) ca
         |  from lineitem group by 1),
@@ -118,7 +119,7 @@ object ExtensionQueries8 {
         |p as (select ca.k, ca.ca * cb.cb contrib from ca join cb using (k))
         |select cast(sum(contrib) as bigint) est_rows,
         |  cast(count(*) as bigint) n_keys,
-        |  (max_by(k, [contrib, k])) top_key,
+        |  (select k from p order by contrib desc, k desc limit 1) top_key,
         |  cast(max(contrib) as bigint) top_contrib
         |from p""".stripMargin,
 
