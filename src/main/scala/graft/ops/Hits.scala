@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * fixed iterations — rankings are what matter, and skipping the
   * global-sum normalizer keeps every aggregate a small per-node sum
   * (no corpus-wide float fold), so results pin under rounding.
+  *
+  * Determinism bound: the "every score is an exact integer in a
+  * double" argument holds only while all hub/auth sums stay below
+  * 2^53. Unnormalized scores grow roughly as maxDegree^iterations, so
+  * the exactness budget is iterations · log₂(maxDegree) < 53 — e.g.
+  * 5 iterations tolerate max degree ~1500; denser graphs or more
+  * rounds silently re-enter FP-order-sensitive territory and need the
+  * normalized variant instead.
   */
 object Hits {
 
