@@ -20,7 +20,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries.all ++ graft.ops.ExtensionQueries2.all ++
       graft.ops.ExtensionQueries3.all ++ graft.ops.ExtensionQueries4.all ++
       graft.ops.ExtensionQueries5.all ++ graft.ops.ExtensionQueries6.all ++
-      graft.ops.ExtensionQueries7.all ++ graft.ops.ExtensionQueries8.all
+      graft.ops.ExtensionQueries7.all ++ graft.ops.ExtensionQueries8.all ++
+      graft.ops.ExtensionQueries9.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.ops.ExtensionQueries.oracleSql ++ graft.ops.ExtensionQueries2.oracleSql ++
       graft.ops.ExtensionQueries3.oracleSql ++ graft.ops.ExtensionQueries4.oracleSql ++
       graft.ops.ExtensionQueries5.oracleSql ++ graft.ops.ExtensionQueries6.oracleSql ++
-      graft.ops.ExtensionQueries7.oracleSql ++ graft.ops.ExtensionQueries8.oracleSql
+      graft.ops.ExtensionQueries7.oracleSql ++ graft.ops.ExtensionQueries8.oracleSql ++
+      graft.ops.ExtensionQueries9.oracleSql
 }

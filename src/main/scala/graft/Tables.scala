@@ -5,14 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Fixture-table loader.
   *
-  * Handles the one physical-type quirk in the driver fixtures
-  * (FIXTURES.md quirk 1): `events.ts` is a nanosecond Parquet timestamp,
-  * which stock Spark refuses with [PARQUET_TYPE_ILLEGAL]. We read it as a
-  * raw long (`spark.sql.legacy.parquet.nanosAsLong=true`) and truncate
-  * ns -> us with integer division (`ts div 1000`) — exactly the truncation
-  * DuckDB applies natively on read, so the oracle sees identical values.
-  * (NOT `cast(ts/1000 as long)`: `/` on longs goes through DOUBLE, which
-  * has only 53 mantissa bits — ~1.7e18 ns loses precision.)
+  * `events.ts` is schema-adaptive (FIXTURES.md quirk 1): fixture
+  * generations have shipped BOTH physical encodings, so we always read
+  * with `spark.sql.legacy.parquet.nanosAsLong=true` (a no-op for non-ns
+  * files) and dispatch on the resolved type of `ts`:
+  *   - LongType            => nanosecond Parquet timestamp surfaced as a
+  *     raw long; truncate ns -> us with integer division
+  *     (`timestamp_micros(ts div 1000)`) — exactly the truncation DuckDB
+  *     applies natively on read, so the oracle sees identical values.
+  *     (NOT `cast(ts/1000 as long)`: `/` on longs goes through DOUBLE,
+  *     which has only 53 mantissa bits — ~1.7e18 ns loses precision.)
+  *   - TimestampNTZType    => microsecond timestamp without tz; cast to
+  *     the session-standard TIMESTAMP. The session timezone is UTC in
+  *     every entry point (Verify/Bench/specs), so the wall-clock value is
+  *     reinterpreted as the same UTC instant the old ns path produced —
+  *     window()/date_trunc/unix_micros results are identical.
+  *   - TimestampType       => pass through.
   *
   * Scale note: all reads are plain columnar Parquet scans — vectorized
   * reader, column pruning and predicate pushdown all apply. At 100 TB the
@@ -40,8 +48,15 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => raw
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other (expected ns-long, timestamp, or timestamp_ntz)")
+      }
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   *
   * Determinism bound: the "every score is an exact integer in a
   * double" argument holds only while all hub/auth sums stay below
-  * 2^53. Unnormalized scores grow roughly as maxDegree^iterations, so
-  * the exactness budget is iterations · log₂(maxDegree) < 53 — e.g.
-  * 5 iterations tolerate max degree ~1500; denser graphs or more
-  * rounds silently re-enter FP-order-sensitive territory and need the
-  * normalized variant instead.
+  * 2^53. Each iteration performs TWO propagation hops (hub→auth, then
+  * auth→hub), so unnormalized scores grow roughly as
+  * maxDegree^(2·iterations) and the exactness budget is
+  * 2 · iterations · log₂(maxDegree) < 53 — e.g. 5 iterations tolerate
+  * max degree ~39 (2·5·log₂(39) ≈ 53), and a max degree of 1500 only
+  * survives ~2 iterations. Denser graphs or more rounds silently
+  * re-enter FP-order-sensitive territory and need the normalized
+  * variant instead.
   */
 object Hits {
 

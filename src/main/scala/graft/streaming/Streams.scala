@@ -19,26 +19,41 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet physical schema — ts is INT64 TIMESTAMP(NANOS),
-    * surfaced as LongType under nanosAsLong (streaming sources need the
-    * schema declared; we convert to a true microsecond timestamp column
-    * exactly like the batch reader so both paths agree).
+  /** events.parquet logical schema with `ts` parameterized: streaming
+    * sources need the schema declared up front, but the fixtures'
+    * physical `ts` encoding is generation-dependent (FIXTURES.md quirk
+    * 1: ns-long in rounds 1–4, µs timestamp since round 5), so we peek
+    * at the batch footer first and declare whatever is actually there.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
+  def eventsRawSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over an events parquet directory (replay). */
+  /** Streaming source over an events parquet directory (replay).
+    * Schema-adaptive exactly like the batch reader (`Tables.scala`): a
+    * one-footer batch read resolves the physical `ts` type, then the
+    * stream declares that type and normalizes to TimestampType — both
+    * paths agree by construction, which is what keeps the
+    * replay-equivalence contract (SURVEY §5.4) meaningful.
+    */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.readStream.schema(eventsRawSchema)
+    val physical = spark.read.parquet(dir).schema("ts").dataType
+    val r = spark.readStream.schema(eventsRawSchema(physical))
     val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
-    r2.parquet(dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = r2.parquet(dir)
+    physical match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other")
+    }
   }
 
   // ---- ST-1 tumbling window aggregation ----------------------------------

@@ -144,7 +144,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_fkaudit",          // per-edge 1-row total × 1-row orphan count
       "ext_bootstrap",        // 1-row full mean × 1-row CI aggregate
       "ext_gains",            // ext_auc's 1-row centroid broadcast
-      "ext_conformal")        // 1-row OLS fit + 1-row q-hat broadcasts
+      "ext_conformal",        // 1-row OLS fit + 1-row q-hat broadcasts
+      "ext_jsd",              // token counts × broadcast(1-row totals)
+      "ext_theil",            // balances × broadcast(1-row mean)
+      "ext_cramersv")         // dim-grid cross (5×20 categorical dims)
+                              // + broadcast(1-row n/r/c totals)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
