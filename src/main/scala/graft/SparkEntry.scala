@@ -21,7 +21,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries3.all ++ graft.ops.ExtensionQueries4.all ++
       graft.ops.ExtensionQueries5.all ++ graft.ops.ExtensionQueries6.all ++
       graft.ops.ExtensionQueries7.all ++ graft.ops.ExtensionQueries8.all ++
-      graft.ops.ExtensionQueries9.all ++ graft.ops.ExtensionQueries10.all
+      graft.ops.ExtensionQueries9.all ++ graft.ops.ExtensionQueries10.all ++
+      graft.ops.ExtensionQueries11.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.ops.ExtensionQueries3.oracleSql ++ graft.ops.ExtensionQueries4.oracleSql ++
       graft.ops.ExtensionQueries5.oracleSql ++ graft.ops.ExtensionQueries6.oracleSql ++
       graft.ops.ExtensionQueries7.oracleSql ++ graft.ops.ExtensionQueries8.oracleSql ++
-      graft.ops.ExtensionQueries9.oracleSql ++ graft.ops.ExtensionQueries10.oracleSql
+      graft.ops.ExtensionQueries9.oracleSql ++ graft.ops.ExtensionQueries10.oracleSql ++
+      graft.ops.ExtensionQueries11.oracleSql
 }
