@@ -149,7 +149,9 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_theil",            // balances × broadcast(1-row mean)
       "ext_cramersv",         // dim-grid cross (5×20 categorical dims)
                               // + broadcast(1-row n/r/c totals)
-      "ext_g2")               // token counts × broadcast(1-row totals)
+      "ext_g2",               // token counts × broadcast(1-row totals)
+      "ext_knn_purity")       // rides ext_embed_topk's corpus ×
+                              // broadcast(25 probes) brute-force pattern
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
