@@ -23,7 +23,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries7.all ++ graft.ops.ExtensionQueries8.all ++
       graft.ops.ExtensionQueries9.all ++ graft.ops.ExtensionQueries10.all ++
       graft.ops.ExtensionQueries11.all ++ graft.ops.ExtensionQueries12.all ++
-      graft.ops.ExtensionQueries13.all ++ graft.ops.ExtensionQueries14.all
+      graft.ops.ExtensionQueries13.all ++ graft.ops.ExtensionQueries14.all ++
+      graft.ops.ExtensionQueries15.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.ops.ExtensionQueries7.oracleSql ++ graft.ops.ExtensionQueries8.oracleSql ++
       graft.ops.ExtensionQueries9.oracleSql ++ graft.ops.ExtensionQueries10.oracleSql ++
       graft.ops.ExtensionQueries11.oracleSql ++ graft.ops.ExtensionQueries12.oracleSql ++
-      graft.ops.ExtensionQueries13.oracleSql ++ graft.ops.ExtensionQueries14.oracleSql
+      graft.ops.ExtensionQueries13.oracleSql ++ graft.ops.ExtensionQueries14.oracleSql ++
+      graft.ops.ExtensionQueries15.oracleSql
 }
