@@ -150,8 +150,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_cramersv",         // dim-grid cross (5×20 categorical dims)
                               // + broadcast(1-row n/r/c totals)
       "ext_g2",               // token counts × broadcast(1-row totals)
-      "ext_knn_purity")       // rides ext_embed_topk's corpus ×
+      "ext_knn_purity",       // rides ext_embed_topk's corpus ×
                               // broadcast(25 probes) brute-force pattern
+      "ext_liftmatrix",       // cells × broadcast(1-row grand total)
+      "ext_runstest",         // day series × broadcast(1-row median)
+      "ext_abc",              // ranked parts × broadcast(1-row total)
+      "ext_xmr",              // day series × broadcast(1-row mean/MR̄)
+      "ext_kmv")              // 1-row exact × 1-row k-th-min hash
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
