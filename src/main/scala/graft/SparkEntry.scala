@@ -24,7 +24,9 @@ object SparkEntry {
       graft.ops.ExtensionQueries9.all ++ graft.ops.ExtensionQueries10.all ++
       graft.ops.ExtensionQueries11.all ++ graft.ops.ExtensionQueries12.all ++
       graft.ops.ExtensionQueries13.all ++ graft.ops.ExtensionQueries14.all ++
-      graft.ops.ExtensionQueries15.all ++ graft.ops.ExtensionQueries16.all
+      graft.ops.ExtensionQueries15.all ++ graft.ops.ExtensionQueries16.all ++
+      graft.ops.ExtensionQueries17.all ++ graft.ops.ExtensionQueries18.all ++
+      graft.ops.ExtensionQueries19.all ++ graft.ops.ExtensionQueries20.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +42,7 @@ object SparkEntry {
       graft.ops.ExtensionQueries9.oracleSql ++ graft.ops.ExtensionQueries10.oracleSql ++
       graft.ops.ExtensionQueries11.oracleSql ++ graft.ops.ExtensionQueries12.oracleSql ++
       graft.ops.ExtensionQueries13.oracleSql ++ graft.ops.ExtensionQueries14.oracleSql ++
-      graft.ops.ExtensionQueries15.oracleSql ++ graft.ops.ExtensionQueries16.oracleSql
+      graft.ops.ExtensionQueries15.oracleSql ++ graft.ops.ExtensionQueries16.oracleSql ++
+      graft.ops.ExtensionQueries17.oracleSql ++ graft.ops.ExtensionQueries18.oracleSql ++
+      graft.ops.ExtensionQueries19.oracleSql ++ graft.ops.ExtensionQueries20.oracleSql
 }

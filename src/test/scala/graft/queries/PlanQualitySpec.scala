@@ -156,7 +156,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_runstest",         // day series × broadcast(1-row median)
       "ext_abc",              // ranked parts × broadcast(1-row total)
       "ext_xmr",              // day series × broadcast(1-row mean/MR̄)
-      "ext_kmv")              // 1-row exact × 1-row k-th-min hash
+      "ext_kmv",              // 1-row exact × 1-row k-th-min hash
+      "ext_kendall",          // day-pair join: O(calendar²), fact table
+                              // pre-collapsed to the day series
+      "ext_hellinger",        // dims-grid spine (sources × langs) +
+                              // broadcast(1-row corpus total)
+      "ext_convlat",          // 1-row signup count × 1-row latency agg
+      "ext_transentropy",     // ≤25 transition cells × broadcast(1-row total)
+      "ext_theilsen",         // day-pair slopes (O(calendar²)) + day
+                              // series × broadcast(1-row median slope)
+      "ext_mannkendall",      // day-pair signs + three 1-row aggregates
+      "ext_wilson",           // 5 type counts × broadcast(1-row total)
+      "ext_targetenc",        // 5 segment rows × broadcast(1-row prior)
+      "ext_sax")              // day series × broadcast(1-row moments)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
