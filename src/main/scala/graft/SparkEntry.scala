@@ -26,7 +26,9 @@ object SparkEntry {
       graft.ops.ExtensionQueries13.all ++ graft.ops.ExtensionQueries14.all ++
       graft.ops.ExtensionQueries15.all ++ graft.ops.ExtensionQueries16.all ++
       graft.ops.ExtensionQueries17.all ++ graft.ops.ExtensionQueries18.all ++
-      graft.ops.ExtensionQueries19.all ++ graft.ops.ExtensionQueries20.all
+      graft.ops.ExtensionQueries19.all ++ graft.ops.ExtensionQueries20.all ++
+      graft.ops.ExtensionQueries21.all ++ graft.ops.ExtensionQueries22.all ++
+      graft.ops.ExtensionQueries23.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +46,7 @@ object SparkEntry {
       graft.ops.ExtensionQueries13.oracleSql ++ graft.ops.ExtensionQueries14.oracleSql ++
       graft.ops.ExtensionQueries15.oracleSql ++ graft.ops.ExtensionQueries16.oracleSql ++
       graft.ops.ExtensionQueries17.oracleSql ++ graft.ops.ExtensionQueries18.oracleSql ++
-      graft.ops.ExtensionQueries19.oracleSql ++ graft.ops.ExtensionQueries20.oracleSql
+      graft.ops.ExtensionQueries19.oracleSql ++ graft.ops.ExtensionQueries20.oracleSql ++
+      graft.ops.ExtensionQueries21.oracleSql ++ graft.ops.ExtensionQueries22.oracleSql ++
+      graft.ops.ExtensionQueries23.oracleSql
 }

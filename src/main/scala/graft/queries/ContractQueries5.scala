@@ -177,7 +177,28 @@ object ContractQueries5 {
     }.reduce(_.unionAll(_)).orderBy("ver", "k")
   }
 
+  // ---- Q119 bag set operations (U-5) ------------------------------------------
+  // INTERSECT ALL / EXCEPT ALL — the multiset variants U-3/U-4's
+  // distinct forms don't cover: multiplicities are min(m_a, m_b) and
+  // max(0, m_a − m_b) respectively. Customer vs supplier nation keys
+  // as the two bags; results re-aggregated so the multiplicity
+  // arithmetic itself is what's hash-gated.
+  def q119BagSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nk"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_nationkey").cast("long").as("nk"))
+    val inter = c.intersectAll(sup)
+      .groupBy("nk").agg(count(lit(1)).as("m"))
+      .select(lit("intersect_all").as("op"), col("nk"), col("m"))
+    val exc = sup.exceptAll(c)
+      .groupBy("nk").agg(count(lit(1)).as("m"))
+      .select(lit("except_all").as("op"), col("nk"), col("m"))
+    inter.unionAll(exc).orderBy("op", "nk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_bagsetops" -> (q119BagSetOps _),
     "q118_timetravel" -> (q118TimeTravel _),
     "q116_alter" -> (q116Alter _),
     "q117_merge_del" -> (q117MergeDel _),

@@ -6,6 +6,20 @@ package graft.queries
 object OracleSql5 {
 
   val all: Map[String, String] = Map(
+    // q119: supplier EXCEPT ALL customer keeps a key only where the
+    // supplier bag has surplus multiplicity (the reverse direction
+    // would drown in customer volume).
+    "q119_bagsetops" ->
+      """with c as (select cast(c_nationkey as bigint) nk from customer),
+        |s as (select cast(s_nationkey as bigint) nk from supplier),
+        |i as (select nk from c intersect all select nk from s),
+        |x as (select nk from s except all select nk from c)
+        |select 'intersect_all' op, nk, cast(count(*) as bigint) m
+        |from i group by nk
+        |union all
+        |select 'except_all', nk, cast(count(*) as bigint) m
+        |from x group by nk
+        |order by op, nk""".stripMargin,
     // q116: the evolved table = old rows null-filled + the one
     // name-routed insert.
     "q116_alter" ->

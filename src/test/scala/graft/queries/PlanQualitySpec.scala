@@ -168,7 +168,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_mannkendall",      // day-pair signs + three 1-row aggregates
       "ext_wilson",           // 5 type counts × broadcast(1-row total)
       "ext_targetenc",        // 5 segment rows × broadcast(1-row prior)
-      "ext_sax")              // day series × broadcast(1-row moments)
+      "ext_sax",              // day series × broadcast(1-row moments)
+      "ext_brier",            // scan × broadcast(1-row global train rate)
+                              // + ≤101 bins × broadcast(1-row totals)
+      "ext_binseg",           // day-series prefix sums × broadcast(1-row
+                              // totals); O(calendar) candidates
+      "ext_coverage")         // vocab ranks × broadcast(1-row totals)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
