@@ -283,6 +283,42 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- ST-18 stateful rapid-fire detector --------------------------------
+  case class RapidState(lastUs: Long, nEvents: Long, nRapid: Long)
+  case class RapidOut(user_id: Long, event_type: String,
+      n_events: Long, n_rapid: Long)
+
+  /** Live bot screen: running count of events arriving ≤ 1 s after the
+    * previous same-(user, type) event — the streaming form of batch
+    * E-185 (`ExtensionQueries18.extRapidfire`), replay-equal to its
+    * lag-window formulation. State is one (lastUs, 2 counters) triple
+    * per key, partitioned by the (user, type) grouping key; within a
+    * micro-batch rows sort per key, across batches the last timestamp
+    * carries (same ordering contract as the sessionizers above).
+    */
+  def rapidFireCounts(events: DataFrame): Dataset[RapidOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[RapidState, RapidOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, typ), rows, state: GroupState[RapidState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var st = state.getOption.getOrElse(RapidState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, _, us, _) =>
+            val rapid = st.lastUs != Long.MinValue && us - st.lastUs <= 1000000L
+            st = RapidState(us, st.nEvents + 1,
+              st.nRapid + (if (rapid) 1L else 0L))
+          }
+          state.update(st)
+          Iterator.single(RapidOut(uid, typ, st.nEvents, st.nRapid))
+      }
+  }
+
   def statefulSessionCounts(events: DataFrame): Dataset[UserSessOut] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -487,6 +487,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(got) == canon(expected))
   }
 
+  test("ST-18 stateful rapid-fire detector equals the batch lag formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val stream = Streams.rapidFireCounts(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream.toDF(), "update")
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val expected = batchEvents
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap") <= 1000000L, 1L).otherwise(0L)).as("n_rapid"))
+    assert(canon(got) == canon(expected))
+  }
+
   test("ST-7b transformWithState sessionization equals Q25") {
     // transformWithState needs a multi-column-family state store
     // (RocksDB); the default HDFS-backed provider refuses it
