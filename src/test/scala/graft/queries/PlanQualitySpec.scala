@@ -174,7 +174,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_binseg",           // day-series prefix sums × broadcast(1-row
                               // totals); O(calendar) candidates
       "ext_coverage",         // vocab ranks × broadcast(1-row totals)
-      "ext_var")              // day deltas × broadcast(1-row VaR cut)
+      "ext_var",              // day deltas × broadcast(1-row VaR cut)
+      "ext_embnorm")          // norms × broadcast(1-row percentile stats)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
