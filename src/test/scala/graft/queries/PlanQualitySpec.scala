@@ -175,7 +175,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
                               // totals); O(calendar) candidates
       "ext_coverage",         // vocab ranks × broadcast(1-row totals)
       "ext_var",              // day deltas × broadcast(1-row VaR cut)
-      "ext_embnorm")          // norms × broadcast(1-row percentile stats)
+      "ext_embnorm",          // norms × broadcast(1-row percentile stats)
+      "ext_bloomfpr",         // three 1-row count aggregates crossed
+      "ext_consistenthash",   // keys × broadcast(128-row ring) + 1-row wrap
+      "ext_simpson")          // 25 brand slopes × broadcast(1-row pooled)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
