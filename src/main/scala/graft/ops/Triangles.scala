@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** @param edges undirected edge list as (u, v) with u < v, distinct.
-    * @return (id, n_triangles) for every node in ≥1 triangle.
+  /** Every triangle exactly once as (a, b, c) in orientation order.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
     */
-  def perNode(edges: DataFrame): DataFrame = {
+  def triangleList(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("k"))
       .unionAll(edges.select(col("v").as("k")))
       .groupBy("k").agg(count(lit(1)).as("d"))
@@ -43,9 +44,36 @@ object Triangles {
     val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
     val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
     val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
-    val triangles = e1.join(e2, "b").join(e3, Seq("a", "c"))
-    triangles
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+  }
+
+  /** @param edges undirected edge list as (u, v) with u < v, distinct.
+    * @return (id, n_triangles) for every node in ≥1 triangle.
+    */
+  def perNode(edges: DataFrame): DataFrame =
+    triangleList(edges)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+
+  /** Per-edge triangle support — the k-truss building block: an edge's
+    * support is the number of triangles it closes, and the (k)-truss is
+    * the maximal subgraph where every edge has support ≥ k−2. Each
+    * triangle from [[triangleList]] credits its three edges
+    * (canonicalized back to u < v); edges in no triangle surface with
+    * support 0 via the left join.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    * @return (u, v, support) for EVERY input edge.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val tri = triangleList(edges)
+    val tedges = tri.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(tri.select(col("b").as("x"), col("c").as("y")))
+      .unionAll(tri.select(col("a").as("x"), col("c").as("y")))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+    edges.join(tedges, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
   }
 }

@@ -178,7 +178,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_embnorm",          // norms × broadcast(1-row percentile stats)
       "ext_bloomfpr",         // three 1-row count aggregates crossed
       "ext_consistenthash",   // keys × broadcast(128-row ring) + 1-row wrap
-      "ext_simpson")          // 25 brand slopes × broadcast(1-row pooled)
+      "ext_simpson",          // 25 brand slopes × broadcast(1-row pooled)
+      "ext_mrr",              // ext_ndcg's corpus × broadcast(6 probes)
+      "ext_preck",            // same probe pattern × broadcast(4-row k-spine)
+      "ext_rbo",              // ext_rrf's 1-row stats + 50-row depth spine
+                              // × ≤50-row rank-overlap frame
+      "ext_bhfdr",            // 25 nation rows × broadcast(1-row global
+                              // moments + 1-row BH cut)
+      "ext_tclose",           // 125 QI groups × broadcast(≤10-row bucket
+                              // spine) + 1-row total
+      "ext_nulldrift",        // 1-row column-null agg × 1-row agg
+      "ext_kmvset")           // 64-row sketch / 1-row exact-count crosses
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
