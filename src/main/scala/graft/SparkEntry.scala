@@ -16,7 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.ContractQueries.all ++ graft.queries.ContractQueries2.all ++
       graft.queries.ContractQueries3.all ++ graft.queries.ContractQueries4.all ++
-      graft.queries.ContractQueries5.all ++
+      graft.queries.ContractQueries5.all ++ graft.queries.ContractQueries6.all ++
       graft.ops.ExtensionQueries.all ++ graft.ops.ExtensionQueries2.all ++
       graft.ops.ExtensionQueries3.all ++ graft.ops.ExtensionQueries4.all ++
       graft.ops.ExtensionQueries5.all ++ graft.ops.ExtensionQueries6.all ++
@@ -39,7 +39,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.OracleSql.all ++ graft.queries.OracleSql2.all ++
       graft.queries.OracleSql3.all ++ graft.queries.OracleSql4.all ++
-      graft.queries.OracleSql5.all ++
+      graft.queries.OracleSql5.all ++ graft.queries.ContractQueries6.oracleSql ++
       graft.ops.ExtensionQueries.oracleSql ++ graft.ops.ExtensionQueries2.oracleSql ++
       graft.ops.ExtensionQueries3.oracleSql ++ graft.ops.ExtensionQueries4.oracleSql ++
       graft.ops.ExtensionQueries5.oracleSql ++ graft.ops.ExtensionQueries6.oracleSql ++

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 contract queries: the Spark 4 SQL-surface round-out — pipe
+  * syntax, lateral column aliases, EXECUTE IMMEDIATE, and observed
+  * metrics (`Dataset.observe`). Each is a user-facing entry point a
+  * reference migrant would reach for; the oracles re-express the same
+  * semantics in plain ANSI SQL.
+  */
+object ContractQueries6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---- Q120 SQL pipe syntax (Q-PIPE) -----------------------------------------
+  // The Spark 4 `|>` operator chain: FROM |> WHERE |> AGGREGATE |>
+  // EXTEND |> SELECT |> ORDER BY — same logical plan as the nested
+  // form (Catalyst sees identical operators), so this is purely a
+  // parser surface, but one a pipeline author will actually use.
+  // Quantities and cents stay integer-exact inside the aggregate.
+  def q120Pipe(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """FROM lineitem
+        ||> WHERE l_shipdate <= DATE '1998-09-02'
+        ||> AGGREGATE SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |     COUNT(*) AS n,
+        |     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> EXTEND ROUND(CAST(cents AS DOUBLE) / 100.0 / n, 2) AS avg_price
+        ||> SELECT l_returnflag, l_linestatus, sum_qty, n, cents, avg_price
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  // ---- Q121 lateral column aliases (Q-LCA) -----------------------------------
+  // A SELECT item referencing an alias defined earlier in the SAME
+  // select list — the spreadsheet-style derivation chain (cents →
+  // fee → total) with each step an exact integer expression.
+  def q121Lca(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |  cents + 250 AS cents_fee,
+        |  cents_fee * 2 AS cents_x2
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // ---- Q122 EXECUTE IMMEDIATE (Q-EXECIMM) ------------------------------------
+  // Dynamic SQL with a positional parameter — the templated-query
+  // entry point (Spark 4). The parameter binds as a literal, so the
+  // optimizer still sees a constant predicate to push down.
+  def q122ExecImm(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT c_nationkey, COUNT(*) AS n,
+        |     SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents
+        |   FROM customer WHERE c_custkey <= ?
+        |   GROUP BY c_nationkey ORDER BY c_nationkey'
+        |  USING 500""".stripMargin)
+  }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ---- Q123 observed metrics (S-21) ------------------------------------------
+  // `Dataset.observe`: pipeline health metrics piggyback on the SAME
+  // pass as the real action (here a noop-sink write) — at 100 TB this
+  // is the difference between free row counts and a second full scan.
+  // The observation name is unique per call (listener registry), but
+  // the OUTPUT is the metrics row itself, which is deterministic.
+  def q123Observe(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"q123_obs_${obsId.incrementAndGet()}")
+    val base = t(s, dir, "orders").observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"),
+      min(round(col("o_totalprice") * 100).cast("long")).as("cents_min"),
+      max(round(col("o_totalprice") * 100).cast("long")).as("cents_max"))
+    base.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("cents_total").asInstanceOf[Long],
+      m("cents_min").asInstanceOf[Long], m("cents_max").asInstanceOf[Long]))
+      .toDF("n_rows", "cents_total", "cents_min", "cents_max")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_pipe" -> (q120Pipe _),
+    "q121_lca" -> (q121Lca _),
+    "q122_execimm" -> (q122ExecImm _),
+    "q123_observe" -> (q123Observe _))
+
+  val oracleSql: Map[String, String] = Map(
+    // q120: the pipe chain re-nested as plain SQL.
+    "q120_pipe" ->
+      """with agg as (select l_returnflag, l_linestatus,
+        |    cast(sum(cast(l_quantity as bigint)) as bigint) sum_qty,
+        |    cast(count(*) as bigint) n,
+        |    cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+        |      cents
+        |  from lineitem where l_shipdate <= date '1998-09-02'
+        |  group by l_returnflag, l_linestatus)
+        |select l_returnflag, l_linestatus, sum_qty, n, cents,
+        |  round(cast(cents as double) / 100.0 / n, 2) avg_price
+        |from agg order by l_returnflag, l_linestatus""".stripMargin,
+
+    // q121: the alias chain expanded.
+    "q121_lca" ->
+      """select o_orderkey,
+        |  cast(round(o_totalprice * 100) as bigint) cents,
+        |  cast(round(o_totalprice * 100) as bigint) + 250 cents_fee,
+        |  (cast(round(o_totalprice * 100) as bigint) + 250) * 2 cents_x2
+        |from orders where o_orderkey <= 1000
+        |order by o_orderkey""".stripMargin,
+
+    // q122: the parameter inlined.
+    "q122_execimm" ->
+      """select c_nationkey, cast(count(*) as bigint) n,
+        |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint) cents
+        |from customer where c_custkey <= 500
+        |group by c_nationkey order by c_nationkey""".stripMargin,
+
+    // q123: the observed metrics recomputed as a plain aggregate.
+    "q123_observe" ->
+      """select cast(count(*) as bigint) n_rows,
+        |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |    cents_total,
+        |  cast(min(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |    cents_min,
+        |  cast(max(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |    cents_max
+        |from orders""".stripMargin)
+}
