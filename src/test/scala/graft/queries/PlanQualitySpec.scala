@@ -188,7 +188,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_tclose",           // 125 QI groups × broadcast(≤10-row bucket
                               // spine) + 1-row total
       "ext_nulldrift",        // 1-row column-null agg × 1-row agg
-      "ext_kmvset")           // 64-row sketch / 1-row exact-count crosses
+      "ext_kmvset",           // 64-row sketch / 1-row exact-count crosses
+      "ext_fellegi",          // 1-row m-rates agg × 1-row u-rates agg
+      "ext_hurst")            // day series × broadcast(4-row block-size
+                              // spine) + 1-row OLS fit
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
