@@ -190,8 +190,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_nulldrift",        // 1-row column-null agg × 1-row agg
       "ext_kmvset",           // 64-row sketch / 1-row exact-count crosses
       "ext_fellegi",          // 1-row m-rates agg × 1-row u-rates agg
-      "ext_hurst")            // day series × broadcast(4-row block-size
+      "ext_hurst",            // day series × broadcast(4-row block-size
                               // spine) + 1-row OLS fit
+      "ext_anova",            // 5-group moments × broadcast(1-row totals)
+      "ext_kruskal",          // 5-group rank sums × 1-row n / tie terms
+      "ext_levene",           // 5-group z-moments × broadcast(1-row totals)
+      "ext_cohend")           // 5×5 group-pair theta join (10 pairs)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
