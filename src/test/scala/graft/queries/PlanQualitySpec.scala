@@ -196,8 +196,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_kruskal",          // 5-group rank sums × 1-row n / tie terms
       "ext_levene",           // 5-group z-moments × broadcast(1-row totals)
       "ext_cohend",           // 5×5 group-pair theta join (10 pairs)
-      "ext_minhashacc")       // tokens × broadcast(16-row permutation
+      "ext_minhashacc",       // tokens × broadcast(16-row permutation
                               // spine) — the signature build
+      "ext_backlog",          // day series × broadcast(1-row capacity)
+      "ext_concurrency")      // 1-row session agg × 1-row sweep peak
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
