@@ -341,4 +341,25 @@ object Streams {
           Iterator.single(UserSessOut(userId, st.nSessions, st.nEvents))
       }
   }
+
+  /** ST-19: idempotent foreachBatch parquet sink — the exactly-once
+    * write discipline. Structured Streaming guarantees at-least-once
+    * foreachBatch invocation: after a driver failure the LAST batch is
+    * re-delivered with the SAME batchId. Writing each micro-batch to
+    * `path/batch=<id>` and skipping when that partition's `_SUCCESS`
+    * marker already exists makes re-delivery a no-op, so the sink's
+    * contents equal the exactly-once union of distinct batches. The
+    * marker-gated overwrite also heals a HALF-written partition (no
+    * `_SUCCESS` ⇒ rewrite): crash-safe in both directions. At 100 TB
+    * this is the standard lakehouse append pattern — one directory per
+    * batch, visibility via marker, no table-format dependency (the
+    * sources.VersionedTable discipline applied to a stream).
+    */
+  def idempotentBatchWrite(df: DataFrame, batchId: Long, path: String): Unit = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      df.write.mode("overwrite").parquet(dir.toString)
+  }
 }

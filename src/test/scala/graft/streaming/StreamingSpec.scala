@@ -298,6 +298,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(seen.get() > 0)
   }
 
+  test("ST-19 idempotent foreachBatch sink survives batch re-delivery and heals partial writes") {
+    val outDir = Files.createTempDirectory("stream_idem").toString
+    // Two-file replay with maxFilesPerTrigger=1 forces >= 2 micro-batches.
+    val tmp = Files.createTempDirectory("events_idem")
+    val src = Paths.get(s"$sf0001/events.parquet")
+    Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream
+      .schema(Streams.readEvents(spark, eventsDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streams.idempotentBatchWrite(batch.toDF(), id, outDir)
+      }
+      .option("checkpointLocation", s"$outDir/_cp")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val afterRun = spark.read.parquet(s"$outDir/batch=*").count()
+    assert(afterRun == batchEvents.count() * 2, "both micro-batches landed")
+
+    // Simulated at-least-once re-delivery: batch 0 arrives AGAIN (same
+    // id, possibly different plan) -> the _SUCCESS marker makes it a
+    // no-op; contents must be unchanged.
+    Streams.idempotentBatchWrite(
+      batchEvents.select(col("event_id"), col("user_id"), col("value")).limit(5),
+      0L, outDir)
+    assert(spark.read.parquet(s"$outDir/batch=*").count() == afterRun,
+      "re-delivered batch 0 must not duplicate or overwrite")
+
+    // A half-written partition (files present, no _SUCCESS marker — the
+    // crash-mid-write shape) must be healed by a full rewrite.
+    val half = new java.io.File(s"$outDir/batch=7"); half.mkdirs()
+    batchEvents.select(col("event_id"), col("user_id"), col("value")).limit(3)
+      .write.mode("overwrite").parquet(half.toString)
+    new java.io.File(half, "_SUCCESS").delete()
+    Streams.idempotentBatchWrite(
+      batchEvents.select(col("event_id"), col("user_id"), col("value")).limit(10),
+      7L, outDir)
+    assert(spark.read.parquet(s"$outDir/batch=7").count() == 10,
+      "markerless partial partition must be rewritten, not trusted")
+  }
+
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
     // The lakehouse MERGE pattern without a table format: each
     // micro-batch folds into a running latest-per-key state via
