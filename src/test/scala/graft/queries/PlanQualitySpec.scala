@@ -199,7 +199,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_minhashacc",       // tokens × broadcast(16-row permutation
                               // spine) — the signature build
       "ext_backlog",          // day series × broadcast(1-row capacity)
-      "ext_concurrency")      // 1-row session agg × 1-row sweep peak
+      "ext_concurrency",      // 1-row session agg × 1-row sweep peak
+      "ext_closure",          // three 1-row graph-stat aggregates crossed
+      "ext_prcurve",          // ext_auc's 1-row centroid broadcast +
+                              // 10-row threshold spine
+      "ext_balance")          // per-label ranks × broadcast(1-row n_min)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
