@@ -89,13 +89,52 @@ object ContractQueries6 {
       .toDF("n_rows", "cents_total", "cents_min", "cents_max")
   }
 
+  // ---- Q124 nearest as-of join (J-7c) ----------------------------------------
+  // The missing direction of the as-of family (backward Q20, forward
+  // q70, tolerance q91): the single order MINIMIZING |order − event|
+  // regardless of side, ties to the earlier order then the smaller
+  // key. Spec form: inequality-free pair join per user + one
+  // (gap, date, key) rank — the oracle shape; the linear merge of
+  // ops.AsOf generalizes the same way at scale (min of the backward
+  // and forward candidates per row).
+  def q124AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+    val gap = abs(unix_micros(col("o_orderdate").cast("timestamp")) -
+      unix_micros(col("ts")))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("gap"), col("o_orderdate"), col("o_orderkey"))
+    e.join(o, col("o_custkey") === col("user_id"))
+      .withColumn("gap", gap)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("gap"))
+      .orderBy("event_id")
+      .limit(50)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_asof_nearest" -> (q124AsofNearest _),
     "q120_pipe" -> (q120Pipe _),
     "q121_lca" -> (q121Lca _),
     "q122_execimm" -> (q122ExecImm _),
     "q123_observe" -> (q123Observe _))
 
   val oracleSql: Map[String, String] = Map(
+    // q124: identical (gap, date, key) rank per event.
+    "q124_asof_nearest" ->
+      """with j as (select event_id, user_id, o_orderkey, o_orderdate,
+        |    abs(epoch_us(o_orderdate) - epoch_us(ts)) gap
+        |  from events join orders on o_custkey = user_id),
+        |r as (select event_id, user_id, o_orderkey, gap,
+        |    row_number() over (partition by event_id
+        |      order by gap, o_orderdate, o_orderkey) rn
+        |  from j)
+        |select event_id, user_id, o_orderkey, cast(gap as bigint) gap
+        |from r where rn = 1 order by event_id limit 50""".stripMargin,
+
     // q120: the pipe chain re-nested as plain SQL.
     "q120_pipe" ->
       """with agg as (select l_returnflag, l_linestatus,
