@@ -115,7 +115,27 @@ object ContractQueries6 {
       .limit(50)
   }
 
+  // ---- Q125 case-insensitive collation (Q-COLL) ------------------------------
+  // Spark 4 collations: grouping under UTF8_LCASE folds case variants
+  // (synthesized: every even custkey's segment lower-cased) into one
+  // group. The output key is normalized through lower() so the
+  // representative choice can't leak engine internals; the oracle is
+  // the classic lower() rewrite — same groups, same counts.
+  def q125Collate(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT lower(seg2 COLLATE UTF8_LCASE) AS seg, COUNT(*) AS n,
+        |  COUNT(DISTINCT seg2) AS n_variants
+        |FROM (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |    ELSE c_mktsegment END AS seg2
+        |  FROM customer)
+        |GROUP BY seg2 COLLATE UTF8_LCASE
+        |ORDER BY seg""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_collate" -> (q125Collate _),
     "q124_asof_nearest" -> (q124AsofNearest _),
     "q120_pipe" -> (q120Pipe _),
     "q121_lca" -> (q121Lca _),
@@ -123,6 +143,15 @@ object ContractQueries6 {
     "q123_observe" -> (q123Observe _))
 
   val oracleSql: Map[String, String] = Map(
+    // q125: the lower() rewrite — same groups, same counts.
+    "q125_collate" ->
+      """with m as (select case when c_custkey % 2 = 0
+        |    then lower(c_mktsegment) else c_mktsegment end seg2
+        |  from customer)
+        |select lower(seg2) seg, cast(count(*) as bigint) n,
+        |  cast(count(distinct seg2) as bigint) n_variants
+        |from m group by lower(seg2) order by seg""".stripMargin,
+
     // q124: identical (gap, date, key) rank per event.
     "q124_asof_nearest" ->
       """with j as (select event_id, user_id, o_orderkey, o_orderdate,
