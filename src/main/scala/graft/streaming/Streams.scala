@@ -342,6 +342,84 @@ object Streams {
       }
   }
 
+  case class BucketState(lastUs: Long, milliTokens: Long,
+      nEvents: Long, nThrottled: Long)
+  case class ThrottleOut(user_id: Long, n_events: Long, n_throttled: Long)
+
+  /** ST-20: token-bucket rate limiter as keyed streaming state — the
+    * live abuse/quota guard. Each user's bucket holds up to `capacity`
+    * tokens, refilling one token per `refillUsPerToken` µs (default 12 h); an event
+    * consumes one token or is flagged throttled. All bucket arithmetic
+    * is INTEGER milli-tokens (refill = Δus·1000/refillUsPerToken,
+    * integer division; late/equal timestamps refill 0, never negative)
+    * so stream and batch produce bit-identical decisions for
+    * identically-ordered input: state (lastUs, milliTokens, counters)
+    * carries across micro-batches and rows sort (ts, event_id) within
+    * each batch — the ST-18 ordering contract. Emits per-user running
+    * (n_events, n_throttled) counters.
+    */
+  def tokenBucketCounts(events: DataFrame,
+      refillUsPerToken: Long = 43200000000L, // one token per 12 h
+      capacity: Long = 2L): Dataset[ThrottleOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, ThrottleOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[BucketState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(
+            BucketState(Long.MinValue, capacity * 1000, 0L, 0L))
+          sorted.foreach { case (_, us, _) =>
+            val refill =
+              if (st.lastUs == Long.MinValue) 0L
+              else math.max(0L, (us - st.lastUs) * 1000L / refillUsPerToken)
+            val filled = math.min(capacity * 1000L, st.milliTokens + refill)
+            val (after, throttled) =
+              if (filled >= 1000L) (filled - 1000L, 0L) else (filled, 1L)
+            st = BucketState(us, after, st.nEvents + 1L,
+              st.nThrottled + throttled)
+          }
+          state.update(st)
+          Iterator.single(ThrottleOut(uid, st.nEvents, st.nThrottled))
+      }
+  }
+
+  /** The batch formulation of the same fold (per-user sorted pass) —
+    * ST-20's replay anchor.
+    */
+  def tokenBucketBatch(events: DataFrame,
+      refillUsPerToken: Long = 43200000000L,
+      capacity: Long = 2L): Dataset[ThrottleOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        var lastUs = Long.MinValue
+        var milli = capacity * 1000L
+        var nThrottled = 0L
+        sorted.foreach { case (_, us, _) =>
+          val refill =
+            if (lastUs == Long.MinValue) 0L
+            else math.max(0L, (us - lastUs) * 1000L / refillUsPerToken)
+          val filled = math.min(capacity * 1000L, milli + refill)
+          if (filled >= 1000L) milli = filled - 1000L
+          else { milli = filled; nThrottled += 1L }
+          lastUs = us
+        }
+        ThrottleOut(uid, sorted.size.toLong, nThrottled)
+      }
+  }
+
   /** ST-19: idempotent foreachBatch parquet sink — the exactly-once
     * write discipline. Structured Streaming guarantees at-least-once
     * foreachBatch invocation: after a driver failure the LAST batch is

@@ -342,6 +342,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "markerless partial partition must be rewritten, not trusted")
   }
 
+  test("ST-20 token-bucket rate limiter replay equals the batch fold") {
+    // Two TIME-DISJOINT halves force multiple micro-batches that
+    // arrive in event-time order (a token bucket is an order-sensitive
+    // fold — replay equality is only defined for identically-ordered
+    // input); the bucket state (lastUs, milliTokens, counters) must
+    // carry across the boundary for the final per-user row to equal
+    // the single-pass batch fold.
+    val tmp = Files.createTempDirectory("events_bucket")
+    val all = batchEvents.orderBy("ts", "event_id")
+    val cut = all.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    all.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$tmp/a")
+    all.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$tmp/b")
+    Files.move(Files.list(Paths.get(s"$tmp/a")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/a.parquet"))
+    Files.move(Files.list(Paths.get(s"$tmp/b")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/b.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/a"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/b"))
+    val schema = Streams.readEvents(spark, eventsDir).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val got = replay(Streams.tokenBucketCounts(streamIn).toDF(), "update")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max("n_throttled").as("n_throttled"))
+    val batchIn = spark.read.parquet(s"$tmp/a.parquet", s"$tmp/b.parquet")
+    val expected = Streams.tokenBucketBatch(batchIn).toDF()
+    assert(canon(got) == canon(expected))
+    // the limiter must actually bite on the doubled stream
+    val throttled = expected.agg(sum("n_throttled")).collect()(0).getLong(0)
+    assert(throttled > 0, "expected some throttling on the doubled stream")
+  }
+
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
     // The lakehouse MERGE pattern without a table format: each
     // micro-batch folds into a running latest-per-key state via
