@@ -206,7 +206,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_balance",          // per-label ranks × broadcast(1-row n_min)
       "ext_sprt",             // 1-row walk end × 1-row first-crossing agg
       "ext_powercurve",       // 5-row k spine × broadcast(1-row SE)
-      "ext_dw")               // day series × broadcast(1-row OLS moments)
+      "ext_dw",               // day series × broadcast(1-row OLS moments)
+      "ext_ransac",           // day series × broadcast(20 candidate lines)
+      "ext_segreg",           // prefix moments × broadcast(1-row totals)
+      "ext_periodogram")      // day series × broadcast(13-row period spine)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
