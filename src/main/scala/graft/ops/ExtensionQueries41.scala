@@ -80,22 +80,23 @@ object ExtensionQueries41 {
   }
 
   // ---- E-283 peer-group outliers -------------------------------------------------
-  // Balance z-scores WITHIN each (nation, segment) peer group — the
-  // peer-relative view that a global z (E-46 anomaly) washes out.
-  // Group moments are exact decimal cents; z is one settled
-  // expression; top deviants by |z| with id tiebreak. Groups of < 10
-  // peers are excluded (z unstable).
+  // Balance z-scores WITHIN each nation peer group — the peer-relative
+  // view that a global z (E-46 anomaly) washes out. Group moments are
+  // exact decimal cents; z is one settled expression; top deviants by
+  // |z| with id tiebreak. Groups of < 5 peers are excluded (z
+  // unstable; nation-level groups stay populated even at the smallest
+  // fixture scale).
   def extPeerz(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey").as("nk"),
         col("c_mktsegment").as("seg"),
         round(col("c_acctbal") * 100).cast("long").cast("decimal(38,0)")
           .as("v"))
-    val g = c.groupBy("nk", "seg")
+    val g = c.groupBy("nk")
       .agg(count(lit(1)).as("ng"), sum("v").as("sv"),
         sum(col("v") * col("v")).as("svv"))
-      .filter(col("ng") >= 10)
-    c.join(g, Seq("nk", "seg"))
+      .filter(col("ng") >= 5)
+    c.join(g, Seq("nk"))
       .withColumn("z",
         (col("v").cast("double") - col("sv").cast("double") / col("ng")) /
           sqrt((col("ng").cast("double") * col("svv").cast("double") -
@@ -164,16 +165,16 @@ object ExtensionQueries41 {
       """with c as (select c_custkey, c_nationkey nk, c_mktsegment seg,
         |    cast(cast(round(c_acctbal * 100) as bigint) as hugeint) v
         |  from customer),
-        |g as (select nk, seg, cast(count(*) as bigint) ng, sum(v) sv,
+        |g as (select nk, cast(count(*) as bigint) ng, sum(v) sv,
         |    sum(v * v) svv
-        |  from c group by nk, seg having count(*) >= 10),
+        |  from c group by nk having count(*) >= 5),
         |z as (select c_custkey, c.nk, c.seg,
         |    round(cast(v as double) / 100, 2) balance,
         |    round((cast(v as double) - cast(sv as double) / ng) /
         |      sqrt((cast(ng as double) * cast(svv as double) -
         |        cast(sv as double) * cast(sv as double)) /
         |        (cast(ng as double) * cast(ng as double))), 4) z
-        |  from c join g on g.nk = c.nk and g.seg = c.seg)
+        |  from c join g on g.nk = c.nk)
         |select c_custkey, cast(nk as bigint) nk, seg, balance, z
         |from z order by abs(z) desc, c_custkey limit 20""".stripMargin)
 }

@@ -134,7 +134,46 @@ object ContractQueries6 {
         |ORDER BY seg""".stripMargin)
   }
 
+  // ---- Q126 named WINDOW clause (Q-NAMEDWIN) ---------------------------------
+  // One WINDOW definition shared by four window functions — the SQL
+  // surface that keeps analytic queries readable; semantically
+  // identical to inlining the spec four times (which is the oracle).
+  def q126NamedWin(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  RANK() OVER w AS rk,
+        |  LAG(o_orderkey) OVER w AS prev_key,
+        |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS run_cents
+        |FROM orders
+        |WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin)
+  }
+
+  // ---- Q127 inline VALUES lookup (Q-VALUES) ----------------------------------
+  // The literal lookup-table join every ad-hoc report uses: priority →
+  // SLA-days via an inline VALUES relation, joined and aggregated.
+  // Catalyst treats VALUES as a LocalRelation — broadcast for free.
+  def q127Values(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT v.sla_days, COUNT(*) AS n_orders,
+        |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders
+        |JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 5),
+        |  ('4-NOT SPECIFIED', 7), ('5-LOW', 10)) AS v(prio, sla_days)
+        |  ON o_orderpriority = v.prio
+        |GROUP BY v.sla_days
+        |ORDER BY v.sla_days""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_namedwin" -> (q126NamedWin _),
+    "q127_values" -> (q127Values _),
     "q125_collate" -> (q125Collate _),
     "q124_asof_nearest" -> (q124AsofNearest _),
     "q120_pipe" -> (q120Pipe _),
@@ -143,6 +182,35 @@ object ContractQueries6 {
     "q123_observe" -> (q123Observe _))
 
   val oracleSql: Map[String, String] = Map(
+    // q126: the window spec inlined (DuckDB also supports WINDOW, but
+    // the inline form proves semantic equality, not parser parity).
+    "q126_namedwin" ->
+      """select o_custkey,
+        |  cast(round(o_totalprice * 100) as bigint) cents,
+        |  row_number() over (partition by o_custkey
+        |    order by o_orderdate, o_orderkey) rn,
+        |  rank() over (partition by o_custkey
+        |    order by o_orderdate, o_orderkey) rk,
+        |  lag(o_orderkey) over (partition by o_custkey
+        |    order by o_orderdate, o_orderkey) prev_key,
+        |  cast(sum(cast(round(o_totalprice * 100) as bigint)) over (
+        |    partition by o_custkey order by o_orderdate, o_orderkey
+        |    rows unbounded preceding) as bigint) run_cents
+        |from orders where o_custkey <= 20
+        |order by o_custkey, rn""".stripMargin,
+
+    // q127: identical VALUES lookup.
+    "q127_values" ->
+      """select v.sla_days, cast(count(*) as bigint) n_orders,
+        |  cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |    cents
+        |from orders
+        |join (values ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 5),
+        |  ('4-NOT SPECIFIED', 7), ('5-LOW', 10)) v(prio, sla_days)
+        |  on o_orderpriority = v.prio
+        |group by v.sla_days
+        |order by v.sla_days""".stripMargin,
+
     // q125: the lower() rewrite — same groups, same counts.
     "q125_collate" ->
       """with m as (select case when c_custkey % 2 = 0
