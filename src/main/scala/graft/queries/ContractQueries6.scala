@@ -171,7 +171,28 @@ object ContractQueries6 {
         |ORDER BY v.sla_days""".stripMargin)
   }
 
+  // ---- Q128 month-boundary semantics (F-2f) ----------------------------------
+  // The month-arithmetic edge cases every report eventually hits,
+  // pinned on a spine of boundary dates: last_day, add_months ±1 with
+  // end-of-month CLAMPING (Jan 31 + 1 month = Feb 29 in a leap year,
+  // Feb 28 otherwise — both engines clamp, and this query proves it),
+  // and next-month-end composition.
+  def q128MonthEnd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spine = Seq("1996-01-31", "1996-01-30", "1996-02-29", "1995-02-28",
+      "1995-01-31", "1996-12-31", "1996-08-31", "1996-04-30")
+      .toDF("ds").select(col("ds").cast("date").as("d"))
+    spine.select(col("d").cast("string").as("d"),
+        last_day(col("d")).cast("string").as("month_end"),
+        add_months(col("d"), 1).cast("string").as("plus_1m"),
+        add_months(col("d"), -1).cast("string").as("minus_1m"),
+        last_day(add_months(col("d"), 1)).cast("string")
+          .as("next_month_end"))
+      .orderBy("d")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_monthend" -> (q128MonthEnd _),
     "q126_namedwin" -> (q126NamedWin _),
     "q127_values" -> (q127Values _),
     "q125_collate" -> (q125Collate _),
@@ -182,6 +203,20 @@ object ContractQueries6 {
     "q123_observe" -> (q123Observe _))
 
   val oracleSql: Map[String, String] = Map(
+    // q128: DuckDB's interval arithmetic clamps the same way.
+    "q128_monthend" ->
+      """with spine as (select cast(ds as date) d from (values
+        |  ('1996-01-31'), ('1996-01-30'), ('1996-02-29'), ('1995-02-28'),
+        |  ('1995-01-31'), ('1996-12-31'), ('1996-08-31'), ('1996-04-30'))
+        |  v(ds))
+        |select strftime(d, '%Y-%m-%d') d,
+        |  strftime(last_day(d), '%Y-%m-%d') month_end,
+        |  strftime(cast(d + interval 1 month as date), '%Y-%m-%d') plus_1m,
+        |  strftime(cast(d - interval 1 month as date), '%Y-%m-%d') minus_1m,
+        |  strftime(last_day(cast(d + interval 1 month as date)),
+        |    '%Y-%m-%d') next_month_end
+        |from spine order by d""".stripMargin,
+
     // q126: the window spec inlined (DuckDB also supports WINDOW, but
     // the inline form proves semantic equality, not parser parity).
     "q126_namedwin" ->
