@@ -211,8 +211,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_segreg",           // prefix moments × broadcast(1-row totals)
       "ext_periodogram",      // day series × broadcast(13-row period spine)
       "ext_abcxyz",           // 25 brand rows × broadcast(1-row total)
-      "ext_labelnoise")       // vec_id<300 audit-slice all-pairs — the
+      "ext_labelnoise",       // vec_id<300 audit-slice all-pairs — the
                               // sim_pairs_allpairs oracle discipline
+      "ext_richclub",         // degrees × broadcast(4-row k spine)
+      "ext_ht",               // orders × broadcast(1-row total) coin
+      "ext_neyman")           // 5 strata × broadcast(1-row totals)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
