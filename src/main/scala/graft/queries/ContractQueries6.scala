@@ -191,7 +191,39 @@ object ContractQueries6 {
       .orderBy("d")
   }
 
+  // ---- Q129 permissive JSON with corrupt capture (S-22) ----------------------
+  // JSONL ingestion under PERMISSIVE mode with a _corrupt_record
+  // column: good rows parse, malformed lines survive AS DATA (the
+  // quarantine pattern — q115's DROPMALFORMED silently discards
+  // instead). Three corrupt lines are planted; the gate pins both the
+  // good-row aggregate and the quarantine count.
+  def q129BadJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"/tmp/graft_badjson_${math.abs(dir.hashCode)}"
+    val clean = t(s, dir, "nation")
+      .select(to_json(struct(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))))
+      .as[String].collect() // 25 rows — bounded fixture write
+    s.createDataset(
+        clean.toSeq ++ Seq("{not json", "[1,2", "{\"n_nationkey\": }"))
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    s.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, " +
+        "_corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum("n_nationkey").as("key_sum"),
+        countDistinct("n_regionkey").as("n_regions"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_badjson" -> (q129BadJson _),
     "q128_monthend" -> (q128MonthEnd _),
     "q126_namedwin" -> (q126NamedWin _),
     "q127_values" -> (q127Values _),
@@ -203,6 +235,15 @@ object ContractQueries6 {
     "q123_observe" -> (q123Observe _))
 
   val oracleSql: Map[String, String] = Map(
+    // q129: good rows replay from nation; the 3 planted corrupt lines
+    // are part of the op's spec (the synthesis is deterministic).
+    "q129_badjson" ->
+      """select cast(count(*) as bigint) n_good,
+        |  cast(3 as bigint) n_quarantined,
+        |  cast(sum(n_nationkey) as bigint) key_sum,
+        |  cast(count(distinct n_regionkey) as bigint) n_regions
+        |from nation""".stripMargin,
+
     // q128: DuckDB's interval arithmetic clamps the same way.
     "q128_monthend" ->
       """with spine as (select cast(ds as date) d from (values
