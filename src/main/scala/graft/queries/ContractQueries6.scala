@@ -222,7 +222,20 @@ object ContractQueries6 {
         countDistinct("n_regionkey").as("n_regions"))
   }
 
+  // ---- Q130 IDENTIFIER clause (Q-IDENT) --------------------------------------
+  // Templated object names the injection-safe way: IDENTIFIER(:tbl)
+  // resolves a parameter to a table reference (Spark 4) — the DDL/DML
+  // templating primitive; the oracle is the resolved plain query.
+  def q130Identifier(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT r_regionkey, r_name FROM IDENTIFIER(:tbl)
+        |ORDER BY r_regionkey""".stripMargin,
+      Map("tbl" -> "region"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_identifier" -> (q130Identifier _),
     "q129_badjson" -> (q129BadJson _),
     "q128_monthend" -> (q128MonthEnd _),
     "q126_namedwin" -> (q126NamedWin _),
@@ -235,6 +248,11 @@ object ContractQueries6 {
     "q123_observe" -> (q123Observe _))
 
   val oracleSql: Map[String, String] = Map(
+    // q130: the resolved plain query.
+    "q130_identifier" ->
+      """select cast(r_regionkey as bigint) r_regionkey, r_name
+        |from region order by r_regionkey""".stripMargin,
+
     // q129: good rows replay from nation; the 3 planted corrupt lines
     // are part of the op's spec (the synthesis is deterministic).
     "q129_badjson" ->
