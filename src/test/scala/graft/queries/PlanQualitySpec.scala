@@ -225,7 +225,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "ext_journeydist",      // ~15-user journey-string all-pairs
       "ext_icc",              // 1-row between-groups agg × 1-row totals
       "ext_stopdisc",         // token stats × broadcast(1-row doc count)
-      "ext_modularity")       // 25 brand rows × broadcast(1-row edge count)
+      "ext_modularity",       // 25 brand rows × broadcast(1-row edge count)
+      "ext_eventstudy",       // day series × broadcast(20-row candidate
+                              // spine) + 1-row true-lift broadcast
+      "ext_attrwindow")       // viewer rows × broadcast(4-row window spine)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
