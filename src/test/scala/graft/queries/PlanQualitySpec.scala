@@ -230,8 +230,9 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
                               // spine) + 1-row true-lift broadcast
       "ext_attrwindow",       // viewer rows × broadcast(4-row window spine)
       "ext_nbayes",           // 5-value feature maps × broadcast(1-row priors)
-      "ext_costthresh")       // ext_auc's centroid + 20-row threshold spine
+      "ext_costthresh",       // ext_auc's centroid + 20-row threshold spine
                               // + 1-row argmin broadcast
+      "ext_bandtune")         // audit pairs × broadcast(4-row config spine)
     // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
     // fact-side predicate as a literal, so there is no join node at all
     // on the prefilter path.)
