@@ -141,7 +141,7 @@ object ExtensionQueries {
   // ---- similarity search --------------------------------------------------
   def extEmbedTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5).limit(5), k = 5)
       .orderBy("probe_id", "rank")
   }
 
@@ -162,7 +162,7 @@ object ExtensionQueries {
   // IvfSpec.
   def extIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Ivf.topK(emb, emb.filter(col("vec_id") < 5), k = 5,
+    Ivf.topK(emb, emb.filter(col("vec_id") < 5).limit(5), k = 5,
         kCentroids = 16, nProbe = 16, iters = 2)
       .orderBy("probe_id", "rank")
   }
@@ -192,7 +192,7 @@ object ExtensionQueries {
   // property-gated in SimilaritySpec / IvfSpec.
   def extAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val probes = emb.filter(col("vec_id") < 10)
+    val probes = emb.filter(col("vec_id") < 10).limit(10) // key-range: =10 rows; structural cap for the plan gate
       .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
     val exact1 = Similarity.bruteForceTopK(emb, probes, k = 1)
       .select("probe_id", "vec_id")

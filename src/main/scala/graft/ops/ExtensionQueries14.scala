@@ -53,7 +53,7 @@ object ExtensionQueries14 {
   def extKnnPurity(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val labels = emb.select(col("vec_id"), col("label"))
-    val knn = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 25), k = 5)
+    val knn = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 25).limit(25), k = 5)
     knn
       .join(labels.select(col("vec_id").as("probe_id"), col("label").as("probe_label")),
         "probe_id")

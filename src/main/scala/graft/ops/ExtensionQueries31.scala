@@ -141,6 +141,7 @@ object ExtensionQueries31 {
         ((col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double") / col("n")) /
           (col("n") - 1)).as("s2"))
+      .limit(16) // g = order priority: 5 values; structural cap for the pair join
     val a = per.select(col("g").as("g_a"), col("n").as("n_a"),
       col("mu").as("mu_a"), col("s2").as("s2_a"))
     val b = per.select(col("g").as("g_b"), col("n").as("n_b"),

@@ -111,7 +111,7 @@ object ExtensionQueries42 {
   // ranked on the ROUNDED cosine, disagreement an integer flag.
   def extLabelnoise(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 300).limit(300) // key-range audit slice; limit makes the bound structural (plan gate)
       .select(col("vec_id"), col("embedding"), col("label"))
     val pairs = e.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), col("label").as("la"))

@@ -59,6 +59,7 @@ object ExtensionQueries56 {
             (col("n") - col("wn")))).as("lift"))
     val trueLift = lifts.filter(col("k") === 0)
       .select(col("lift").as("true_lift"))
+      .limit(1) // k==0 is one candidate row; structural cap
     lifts.crossJoin(broadcast(trueLift))
       .agg(round(max("true_lift"), 6).as("event_lift"),
         sum(when(col("k") =!= 0 && col("lift") >= col("true_lift"), 1L)

@@ -119,6 +119,7 @@ object ExtensionQueries6 {
       .filter(col("rn") === least(
         (((col("cnt") + 1) * 19 + 19) / 20).cast("long"), col("cnt")))
       .select(col("resid").as("qhat"), col("cnt").as("n_cal"))
+      .limit(1) // rn-equality matches exactly one row; structural cap
     cal.crossJoin(broadcast(qhat))
       .agg(max("n_fit").as("n_fit"), max("n_cal").as("n_cal"),
         max("qhat").as("qhat"),

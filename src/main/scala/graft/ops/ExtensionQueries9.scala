@@ -107,8 +107,8 @@ object ExtensionQueries9 {
   def extCramersV(s: SparkSession, dir: String): DataFrame = {
     val cells = t(s, dir, "documents").groupBy("lang", "source")
       .agg(count(lit(1)).as("o"))
-    val grid = cells.select("lang").distinct()
-      .crossJoin(cells.select("source").distinct())
+    val grid = cells.select("lang").distinct().limit(64) // closed lang domain
+      .crossJoin(cells.select("source").distinct().limit(64)) // closed source domain
     val full = grid.join(cells, Seq("lang", "source"), "left")
       .select(col("lang"), col("source"), coalesce(col("o"), lit(0L)).as("o"))
     val rt = full.groupBy("lang").agg(sum("o").as("rt"))

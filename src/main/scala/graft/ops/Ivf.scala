@@ -56,6 +56,11 @@ object Ivf {
         .agg(org.apache.spark.sql.functions.transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("centroid"))
+        // structural cap: cid ∈ [0,k) so ≤k groups exist — the limit
+        // changes nothing but makes the bound visible to the plan
+        // (PlanQualitySpec's bounded-side gate), so the broadcast in
+        // assign() is provably O(k) rows at any corpus size
+        .limit(k)
         .cache()
       next.count()
       centroids.unpersist()

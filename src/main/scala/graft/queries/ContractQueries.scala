@@ -189,7 +189,8 @@ object ContractQueries {
   def b10(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
-    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("e"))
+    val probe = emb.filter(col("vec_id") === 0).limit(1) // vec_id unique: =1 row; limit makes the bound structural (plan gate)
+      .select(col("embedding").as("e"))
     emb.crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),

@@ -111,139 +111,104 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"expected the per-domain quota table to broadcast:\n${s.take(2000)}")
   }
 
-  test("umbrella: no CartesianProduct/BroadcastNestedLoopJoin in any query plan " +
-      "outside the documented probe/all-pairs patterns") {
-    // Allowlisted queries deliberately contain a nested-loop stage, each
-    // of a scale-safe shape — the broadcast side is O(1) rows or an
-    // explicitly-small probe/model table, never a second fact table:
-    val allow = Set(
-      "b10",                  // probe pattern: corpus × broadcast(5 probes)
-      "ext_embed_topk",       // brute-force baseline, same probe pattern
-      "ext_ann_recall",       // brute-force oracle + 1-row agg × 1-row agg
-      "ext_ivf_topk",         // corpus × broadcast(16 centroids)
-      "ext_semdedup",         // corpus × broadcast(8 centroids), then
-                              // equi-join on cid — the SemDeDup shape
+  /** Structural row-count bound for a physical subtree: Some(n) when
+    * the subtree PROVABLY emits at most n rows at any data scale —
+    * global (ungrouped) aggregates emit 1, LocalTableScan/Range are
+    * literal, limits cap, and row-preserving/reducing single-child
+    * nodes pass the child's bound through. Grouped aggregates, scans,
+    * generates and mapPartitions are unbounded (None): their output
+    * grows with the data. This is the property that makes a
+    * nested-loop stage scale-safe — the 100 TB side streams, the
+    * bounded side broadcasts O(1) rows.
+    */
+  private def boundedRows(p: SparkPlan): Option[Long] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    p match {
+      case l: LocalTableScanExec => Some(l.rows.length.toLong)
+      case r: RangeExec => Some(r.numElements.toLong)
+      case h: HashAggregateExec if h.groupingExpressions.isEmpty => Some(1L)
+      case h: ObjectHashAggregateExec if h.groupingExpressions.isEmpty => Some(1L)
+      case h: SortAggregateExec if h.groupingExpressions.isEmpty => Some(1L)
+      case g: GlobalLimitExec => Some(g.limit.toLong)
+      case c: CollectLimitExec => Some(c.limit.toLong)
+      case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
+      case e: ExpandExec => boundedRows(e.child).map(_ * e.projections.length)
+      case r: ReusedExchangeExec => boundedRows(r.child)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        boundedRows(m.relation.cachedPlan) // caching preserves row count
+      case a: AdaptiveSparkPlanExec =>
+        // walk the PRE-AQE plan: AQE re-optimization may have erased a
+        // structural limit it could prove redundant from runtime stats,
+        // but the bound must hold at any scale, i.e. structurally
+        boundedRows(a.inputPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        boundedRows(q.plan)
+      case _: GenerateExec => None // row expansion unbounded by child count
+      case u: UnionExec =>
+        val bs = u.children.map(boundedRows)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+      case j: BaseJoinExec => j.joinType match {
+        case LeftSemi | LeftAnti => boundedRows(j.left)
+        case _ => // any other join emits at most |L|*|R| + |L| + |R| (outer pads)
+          for { a <- boundedRows(j.left); b <- boundedRows(j.right) }
+            yield a * b + a + b
+      }
+      case _ if p.getClass.getSimpleName.contains("MapPartitions") ||
+        p.getClass.getSimpleName.contains("FlatMap") => None
+      case _ if p.children.length == 1 => boundedRows(p.children.head)
+      case _ => None
+    }
+  }
+
+  test("umbrella: nested-loop/cartesian stages only with a provably-bounded side") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // A CartesianProduct/BroadcastNestedLoopJoin is scale-safe exactly
+    // when one side is structurally bounded (boundedRows above): the
+    // probe/model/spine table broadcasts, the fact side streams. The
+    // gate asserts the PROPERTY on every query plan; the residual name
+    // list below holds only queries whose bound is semantic (a
+    // documented audit-slice filter or a per-day/group collapse) that
+    // the structural check cannot see.
+    val residual = Set(
       "ext_sim_pairs_allpairs", // all-pairs ORACLE pin (production path
                                 // ext_sim_pairs is blocked, no BNLJ)
-      "q29",                  // tf × broadcast(1-row total-doc count)
-      "ext_lm_score",         // tokens × broadcast(1-row total-count)
-      "ext_sparse_cos",       // tf × broadcast(1-row corpus count); the
-                              // pair join itself is an equi-join on token
-      "ext_basket",           // rules × broadcast(1-row basket count);
-                              // pair expansion is an equi-join on basket
-      "ext_bm25",             // tf × broadcast(1-row corpus stats)
-      "ext_rrf",              // inherits ext_bm25's 1-row stats broadcast
-      "ext_auc",              // corpus × broadcast(1-row centroid)
-      "ext_calibration",      // same scored set as ext_auc — 1-row centroid
-      "ext_subsample",        // tokens × broadcast(1-row corpus total)
-      "ext_ndcg",             // corpus × broadcast(6 probes) — the
-                              // ext_embed_topk probe pattern
-      "ext_ctfidf",           // tf × broadcast(1-row group count)
-      "ext_tfidf_topk",       // tf × broadcast(1-row total-doc count)
-      "ext_burstiness",       // per-token stats × broadcast(1-row doc count)
-      "ext_fkaudit",          // per-edge 1-row total × 1-row orphan count
-      "ext_bootstrap",        // 1-row full mean × 1-row CI aggregate
-      "ext_gains",            // ext_auc's 1-row centroid broadcast
-      "ext_conformal",        // 1-row OLS fit + 1-row q-hat broadcasts
-      "ext_jsd",              // token counts × broadcast(1-row totals)
-      "ext_theil",            // balances × broadcast(1-row mean)
-      "ext_cramersv",         // dim-grid cross (5×20 categorical dims)
-                              // + broadcast(1-row n/r/c totals)
-      "ext_g2",               // token counts × broadcast(1-row totals)
-      "ext_knn_purity",       // rides ext_embed_topk's corpus ×
-                              // broadcast(25 probes) brute-force pattern
-      "ext_liftmatrix",       // cells × broadcast(1-row grand total)
-      "ext_runstest",         // day series × broadcast(1-row median)
-      "ext_abc",              // ranked parts × broadcast(1-row total)
-      "ext_xmr",              // day series × broadcast(1-row mean/MR̄)
-      "ext_kmv",              // 1-row exact × 1-row k-th-min hash
-      "ext_kendall",          // day-pair join: O(calendar²), fact table
-                              // pre-collapsed to the day series
-      "ext_hellinger",        // dims-grid spine (sources × langs) +
-                              // broadcast(1-row corpus total)
-      "ext_convlat",          // 1-row signup count × 1-row latency agg
-      "ext_transentropy",     // ≤25 transition cells × broadcast(1-row total)
-      "ext_theilsen",         // day-pair slopes (O(calendar²)) + day
-                              // series × broadcast(1-row median slope)
-      "ext_mannkendall",      // day-pair signs + three 1-row aggregates
-      "ext_wilson",           // 5 type counts × broadcast(1-row total)
-      "ext_targetenc",        // 5 segment rows × broadcast(1-row prior)
-      "ext_sax",              // day series × broadcast(1-row moments)
-      "ext_brier",            // scan × broadcast(1-row global train rate)
-                              // + ≤101 bins × broadcast(1-row totals)
-      "ext_binseg",           // day-series prefix sums × broadcast(1-row
-                              // totals); O(calendar) candidates
-      "ext_coverage",         // vocab ranks × broadcast(1-row totals)
-      "ext_var",              // day deltas × broadcast(1-row VaR cut)
-      "ext_embnorm",          // norms × broadcast(1-row percentile stats)
-      "ext_bloomfpr",         // three 1-row count aggregates crossed
-      "ext_consistenthash",   // keys × broadcast(128-row ring) + 1-row wrap
-      "ext_simpson",          // 25 brand slopes × broadcast(1-row pooled)
-      "ext_mrr",              // ext_ndcg's corpus × broadcast(6 probes)
-      "ext_preck",            // same probe pattern × broadcast(4-row k-spine)
-      "ext_rbo",              // ext_rrf's 1-row stats + 50-row depth spine
-                              // × ≤50-row rank-overlap frame
-      "ext_bhfdr",            // 25 nation rows × broadcast(1-row global
-                              // moments + 1-row BH cut)
-      "ext_tclose",           // 125 QI groups × broadcast(≤10-row bucket
-                              // spine) + 1-row total
-      "ext_nulldrift",        // 1-row column-null agg × 1-row agg
-      "ext_kmvset",           // 64-row sketch / 1-row exact-count crosses
-      "ext_fellegi",          // 1-row m-rates agg × 1-row u-rates agg
-      "ext_hurst",            // day series × broadcast(4-row block-size
-                              // spine) + 1-row OLS fit
-      "ext_anova",            // 5-group moments × broadcast(1-row totals)
-      "ext_kruskal",          // 5-group rank sums × 1-row n / tie terms
-      "ext_levene",           // 5-group z-moments × broadcast(1-row totals)
-      "ext_cohend",           // 5×5 group-pair theta join (10 pairs)
-      "ext_minhashacc",       // tokens × broadcast(16-row permutation
-                              // spine) — the signature build
-      "ext_backlog",          // day series × broadcast(1-row capacity)
-      "ext_concurrency",      // 1-row session agg × 1-row sweep peak
-      "ext_closure",          // three 1-row graph-stat aggregates crossed
-      "ext_prcurve",          // ext_auc's 1-row centroid broadcast +
-                              // 10-row threshold spine
-      "ext_balance",          // per-label ranks × broadcast(1-row n_min)
-      "ext_sprt",             // 1-row walk end × 1-row first-crossing agg
-      "ext_powercurve",       // 5-row k spine × broadcast(1-row SE)
-      "ext_dw",               // day series × broadcast(1-row OLS moments)
-      "ext_ransac",           // day series × broadcast(20 candidate lines)
-      "ext_segreg",           // prefix moments × broadcast(1-row totals)
-      "ext_periodogram",      // day series × broadcast(13-row period spine)
-      "ext_abcxyz",           // 25 brand rows × broadcast(1-row total)
-      "ext_labelnoise",       // vec_id<300 audit-slice all-pairs — the
-                              // sim_pairs_allpairs oracle discipline
-      "ext_richclub",         // degrees × broadcast(4-row k spine)
-      "ext_ht",               // orders × broadcast(1-row total) coin
-      "ext_neyman",           // 5 strata × broadcast(1-row totals)
-      "ext_stratadj",         // 1-row adj agg × 1-row overall means
-      "ext_did",              // single wide 1-row cell pivot (no join)
-      "ext_rdd",              // 1-row below fit × 1-row above fit
-      "ext_drawdown",         // day series × broadcast(1-row totals/worst)
-      "ext_threshcurve",      // audit pairs × broadcast(9-row tau spine)
-      "ext_moran",            // 25 nations × broadcast(1-row totals)
-      "ext_journeydist",      // ~15-user journey-string all-pairs
-      "ext_icc",              // 1-row between-groups agg × 1-row totals
-      "ext_stopdisc",         // token stats × broadcast(1-row doc count)
-      "ext_modularity",       // 25 brand rows × broadcast(1-row edge count)
-      "ext_eventstudy",       // day series × broadcast(20-row candidate
-                              // spine) + 1-row true-lift broadcast
-      "ext_attrwindow",       // viewer rows × broadcast(4-row window spine)
-      "ext_nbayes",           // 5-value feature maps × broadcast(1-row priors)
-      "ext_costthresh",       // ext_auc's centroid + 20-row threshold spine
-                              // + 1-row argmin broadcast
-      "ext_bandtune")         // audit pairs × broadcast(4-row config spine)
-    // (ext_bloom_join needs no allowlisting: the Bloom bits enter the
-    // fact-side predicate as a literal, so there is no join node at all
-    // on the prefilter path.)
+      "ext_kendall",    // day-pair join: O(calendar^2); fact pre-collapsed
+                        // to the day series by a grouped agg — bounded by
+                        // the CALENDAR length, not the data volume
+      "ext_theilsen",   // day-pair slopes, same calendar collapse
+      "ext_mannkendall" // day-pair signs, same calendar collapse
+    )
+    val maxBroadcastRows = 512L
+    // manual walk: collectWithSubqueries can surface LOGICAL subquery
+    // plans (pre-AQE) which would blow up a SparkPlan-typed match
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val subs = p.expressions.flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          pe.plan
+      }).collect { case sp: SparkPlan => sp }
+      p +: (p.children ++ subs).flatMap(allNodes)
+    }
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
-        val s = q(spark, sf001).queryExecution.sparkPlan.toString
-        val hits = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(s.contains)
-        if (hits.nonEmpty && !allow(name)) Some(s"$name(${hits.mkString("+")})") else None
+        val plan = q(spark, sf001).queryExecution.sparkPlan
+        val bad = allNodes(plan).collect {
+          case j: BroadcastNestedLoopJoinExec
+              if !Seq(j.left, j.right).flatMap(boundedRows)
+                .exists(_ <= maxBroadcastRows) => "BroadcastNestedLoopJoin"
+          case j: CartesianProductExec
+              if !Seq(j.left, j.right).flatMap(boundedRows)
+                .exists(_ <= maxBroadcastRows) => "CartesianProduct"
+        }
+        if (bad.nonEmpty && !residual(name))
+          Some(s"$name(${bad.mkString("+")})")
+        else None
     }
     assert(offenders.isEmpty,
-      s"scale-unsafe join shapes in: ${offenders.mkString(", ")}")
+      s"unbounded nested-loop/cartesian stages in: ${offenders.mkString(", ")}")
   }
 
   test("round-4 operators keep scale-safe join shapes") {
