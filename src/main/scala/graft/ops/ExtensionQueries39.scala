@@ -40,10 +40,14 @@ object ExtensionQueries39 {
         sum(when(col("ja") === 0 && col("jb") === 1, 1L).otherwise(0L))
           .as("c"))
       .select(col("n"), col("b"), col("c"),
-        round((abs(col("b") - col("c")) - 1).cast("double") *
-          (abs(col("b") - col("c")) - 1) / (col("b") + col("c")), 4)
+        // zero-disagreement guard: b + c = 0 would divide by zero under
+        // ANSI mode (and the test is undefined) — report null / false
+        when(col("b") + col("c") > 0,
+          round((abs(col("b") - col("c")) - 1).cast("double") *
+            (abs(col("b") - col("c")) - 1) / (col("b") + col("c")), 4))
           .as("chisq"),
-        ((abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1) *
+        (col("b") + col("c") > 0 &&
+          (abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1) *
           1000 > (col("b") + col("c")) * 3841).as("significant"))
 
   // ---- E-273 Cochran's Q ---------------------------------------------------------
@@ -198,31 +202,24 @@ object ExtensionQueries39 {
       |  from q)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // E-272: identical judges and continuity-corrected integer form.
+    // E-272: identical judges and continuity-corrected integer form,
+    // with the same b + c = 0 zero-disagreement guard as the engine.
     "ext_mcnemar" ->
-      s"""with $judgesSql
-        |select cast(count(*) as bigint) n,
-        |  cast(sum(case when ja = 1 and jb = 0 then 1 else 0 end)
-        |    as bigint) b,
-        |  cast(sum(case when ja = 0 and jb = 1 then 1 else 0 end)
-        |    as bigint) c,
-        |  round(cast((abs(sum(case when ja = 1 and jb = 0 then 1 else 0 end)
-        |      - sum(case when ja = 0 and jb = 1 then 1 else 0 end)) - 1)
-        |    * (abs(sum(case when ja = 1 and jb = 0 then 1 else 0 end)
-        |      - sum(case when ja = 0 and jb = 1 then 1 else 0 end)) - 1)
-        |    as double)
-        |    / (sum(case when ja = 1 and jb = 0 then 1 else 0 end)
-        |      + sum(case when ja = 0 and jb = 1 then 1 else 0 end)), 4)
-        |    chisq,
-        |  (abs(sum(case when ja = 1 and jb = 0 then 1 else 0 end)
-        |      - sum(case when ja = 0 and jb = 1 then 1 else 0 end)) - 1)
-        |    * (abs(sum(case when ja = 1 and jb = 0 then 1 else 0 end)
-        |      - sum(case when ja = 0 and jb = 1 then 1 else 0 end)) - 1)
-        |    * 1000
-        |    > (sum(case when ja = 1 and jb = 0 then 1 else 0 end)
-        |      + sum(case when ja = 0 and jb = 1 then 1 else 0 end)) * 3841
+      s"""with $judgesSql,
+        |m as (select cast(count(*) as bigint) n,
+        |    cast(sum(case when ja = 1 and jb = 0 then 1 else 0 end)
+        |      as bigint) b,
+        |    cast(sum(case when ja = 0 and jb = 1 then 1 else 0 end)
+        |      as bigint) c
+        |  from j)
+        |select n, b, c,
+        |  case when b + c > 0 then
+        |    round(cast((abs(b - c) - 1) * (abs(b - c) - 1) as double)
+        |      / (b + c), 4) end chisq,
+        |  (b + c > 0 and
+        |    (abs(b - c) - 1) * (abs(b - c) - 1) * 1000 > (b + c) * 3841)
         |    significant
-        |from j""".stripMargin,
+        |from m""".stripMargin,
 
     // E-273: identical integer Q (5.991 = χ²₀.₀₅,df=2, cross-multiplied).
     "ext_cochranq" ->

@@ -199,7 +199,10 @@ object ContractQueries6 {
   // good-row aggregate and the quarantine count.
   def q129BadJson(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = s"/tmp/graft_badjson_${math.abs(dir.hashCode)}"
+    // per-JVM unique dir: a fixed hash-derived path raced concurrent
+    // sessions on the same fixture (and math.abs(Int.MinValue) < 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_badjson_").toString
     val clean = t(s, dir, "nation")
       .select(to_json(struct(col("n_nationkey"), col("n_name"),
         col("n_regionkey"))))

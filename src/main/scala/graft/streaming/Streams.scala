@@ -424,20 +424,32 @@ object Streams {
     * write discipline. Structured Streaming guarantees at-least-once
     * foreachBatch invocation: after a driver failure the LAST batch is
     * re-delivered with the SAME batchId. Writing each micro-batch to
-    * `path/batch=<id>` and skipping when that partition's `_SUCCESS`
-    * marker already exists makes re-delivery a no-op, so the sink's
-    * contents equal the exactly-once union of distinct batches. The
-    * marker-gated overwrite also heals a HALF-written partition (no
-    * `_SUCCESS` ⇒ rewrite): crash-safe in both directions. At 100 TB
-    * this is the standard lakehouse append pattern — one directory per
-    * batch, visibility via marker, no table-format dependency (the
-    * sources.VersionedTable discipline applied to a stream).
+    * `path/batch=<id>` and skipping when that partition's own
+    * `_GRAFT_COMMITTED` marker already exists makes re-delivery a
+    * no-op, so the sink's contents equal the exactly-once union of
+    * distinct batches. The marker is written BY THIS SINK after the
+    * parquet write completes — it does not depend on the committer's
+    * `_SUCCESS` (which mapreduce.fileoutputcommitter.marksuccessfuljobs
+    * can disable). The marker-gated overwrite also heals a
+    * HALF-written partition (no marker ⇒ rewrite): crash-safe in both
+    * directions. Single-writer assumption: exactly one streaming query
+    * (the checkpoint owner) writes a given batchId at a time — the
+    * exists-check + overwrite is not atomic, so a zombie driver racing
+    * its failover replacement on the SAME batch could interleave;
+    * Structured Streaming's checkpoint lock provides that ownership.
+    * At 100 TB this is the standard lakehouse append pattern — one
+    * directory per batch, visibility via marker, no table-format
+    * dependency (the sources.VersionedTable discipline applied to a
+    * stream).
     */
   def idempotentBatchWrite(df: DataFrame, batchId: Long, path: String): Unit = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
     val fs = dir.getFileSystem(conf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED")
+    if (!fs.exists(marker)) {
       df.write.mode("overwrite").parquet(dir.toString)
+      fs.create(marker, true).close()
+    }
   }
 }

@@ -321,7 +321,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(afterRun == batchEvents.count() * 2, "both micro-batches landed")
 
     // Simulated at-least-once re-delivery: batch 0 arrives AGAIN (same
-    // id, possibly different plan) -> the _SUCCESS marker makes it a
+    // id, possibly different plan) -> the sink's own marker makes it a
     // no-op; contents must be unchanged.
     Streams.idempotentBatchWrite(
       batchEvents.select(col("event_id"), col("user_id"), col("value")).limit(5),
@@ -334,7 +334,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val half = new java.io.File(s"$outDir/batch=7"); half.mkdirs()
     batchEvents.select(col("event_id"), col("user_id"), col("value")).limit(3)
       .write.mode("overwrite").parquet(half.toString)
-    new java.io.File(half, "_SUCCESS").delete()
+    // note: the committer's _SUCCESS may be present — the sink's own
+    // explicit marker is what gates, so a partial write is healed even
+    // when success markers are enabled (committer-independent)
+    new java.io.File(half, "_GRAFT_COMMITTED").delete()
     Streams.idempotentBatchWrite(
       batchEvents.select(col("event_id"), col("user_id"), col("value")).limit(10),
       7L, outDir)
@@ -363,6 +366,14 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       Paths.get(s"$tmp/b.parquet"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/a"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/b"))
+    // FileStreamSource orders files by modification time; both moves can
+    // land in the same timestamp granule, which would let b process first
+    // and diverge the order-sensitive token-bucket fold. Pin distinct
+    // mtimes so a.parquet always precedes b.parquet.
+    Files.setLastModifiedTime(Paths.get(s"$tmp/a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
     val schema = Streams.readEvents(spark, eventsDir).schema
     val streamIn = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
