@@ -43,4 +43,39 @@ class GloveBlockSpec extends AnyFunSuite with SparkFixture {
     assert(m.embeddings.columns.toSeq == Seq("word", "id", "vec"))
     assert(m.embeddings.count() == 4)
   }
+
+  test("block trainer at V=100k: loss decreases, params never materialize on the driver") {
+    // Past any broadcast cap: 100k vocab ids, ~300k synthetic
+    // co-occurrence cells (each id co-occurs with 3 ring neighbors,
+    // weight decaying in distance). The co-occurrence matrix is built
+    // distributed (spark.range), trained 2 epochs at dim 8, and a
+    // listener watches what actually flows back to the driver: with
+    // localCheckpoint-truncated lineage the ONLY driver traffic is
+    // counts and loss scalars, so cumulative task-result bytes must
+    // stay far below the ~20 MB a parameter-side collect would ship.
+    import spark.implicits._
+    val v = 100000
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      val resultBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) resultBytes.addAndGet(e.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cooc = spark.range(v.toLong).as[Long].flatMap { i =>
+        (1 to 3).map(d => graft.text.Cooc(i.toInt, ((i + d) % v).toInt, 1.0 / d))
+      }
+      val (emb, losses) =
+        new GloveBlockTrainer(dim = 8, iterations = 2, numPartitions = 4,
+          seed = 42L, miniBatches = 1).train(cooc, v)
+      assert(losses.size == 2 && losses.forall(x => !x.isNaN && !x.isInfinite))
+      assert(losses(1) < losses(0), s"loss did not decrease: $losses")
+      assert(emb.count() == v)
+      Thread.sleep(500) // let straggler listener events drain
+      val mb = listener.resultBytes.get() / 1e6
+      assert(mb < 10.0,
+        f"$mb%.1f MB of task results reached the driver — a parameter " +
+          "collect would ship ~20+ MB; the block path must keep params distributed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -36,6 +36,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     spark.table(name)
   }
 
+  /** Like replay, but also returns the final state-store row count
+    * (sum over stateful operators) so bounded-state claims are
+    * MEASURED: an operator whose state grows with the stream instead
+    * of with its key domain fails its pinned bound.
+    */
+  private def replayWithState(df: DataFrame, mode: String): (DataFrame, Long) = {
+    sinkId += 1
+    val name = s"sink_$sinkId"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    q.stop()
+    (spark.table(name), state)
+  }
+
   private def canon(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted
     df.select(cols.map(col): _*).collect()
@@ -89,7 +105,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
 
   test("ST-10 streaming approx_top_k replay equals the oracle-anchored q68") {
     val stream = Streams.topEventTypes(Streams.readEvents(spark, eventsDir))
-    val got = replay(stream, "complete")
+    val (gotRaw, stateRows) = replayWithState(stream, "complete")
+    // the sketch aggregate keeps ONE state row (a single global group),
+    // never per-event state — the bounded-state claim, measured
+    assert(stateRows <= 1L, s"sketch state grew to $stateRows rows")
+    val got = gotRaw
       .select(explode(col("t")).as("e"))
       .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
       .orderBy(desc("cnt"), col("event_type"))
@@ -186,7 +206,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val stream = Streams.dedupWithinWatermark(
       Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1)),
       watermark = "10 minutes")
-    val got = replay(stream, "append")
+    val (gotDf, stateRows) = replayWithState(stream, "append")
+    // state holds only ids seen within the live watermark window (1 and
+    // 4 after f4; older entries evicted) — measured, not narrated
+    assert(stateRows <= 4L, s"watermark dedup state grew to $stateRows rows")
+    val got = gotDf
       .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
     // id=1 twice (before and after eviction); 2, 3, 4, 5 once each
     assert(got == Seq(1L, 1L, 2L, 3L, 4L, 5L), s"got $got")
@@ -377,7 +401,9 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val schema = Streams.readEvents(spark, eventsDir).schema
     val streamIn = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
-    val got = replay(Streams.tokenBucketCounts(streamIn).toDF(), "update")
+    val (gotRaw, st20State) = replayWithState(
+      Streams.tokenBucketCounts(streamIn).toDF(), "update")
+    val got = gotRaw
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
         max("n_throttled").as("n_throttled"))
@@ -387,6 +413,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // the limiter must actually bite on the doubled stream
     val throttled = expected.agg(sum("n_throttled")).collect()(0).getLong(0)
     assert(throttled > 0, "expected some throttling on the doubled stream")
+    // one bucket row per user — state scales with the key domain only
+    val nUsers = batchEvents.select("user_id").distinct().count()
+    assert(st20State == nUsers,
+      s"token-bucket state $st20State != user count $nUsers")
   }
 
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
@@ -581,7 +611,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   test("ST-18 stateful rapid-fire detector equals the batch lag formulation") {
     import org.apache.spark.sql.expressions.Window
     val stream = Streams.rapidFireCounts(Streams.readEvents(spark, eventsDir))
-    val got = replay(stream.toDF(), "update")
+    val (got, st18State) = replayWithState(stream.toDF(), "update")
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy("us", "event_id")
     val expected = batchEvents
@@ -592,6 +622,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("gap") <= 1000000L, 1L).otherwise(0L)).as("n_rapid"))
     assert(canon(got) == canon(expected))
+    // state is one row per live (user, event_type) key — exactly the
+    // batch group count, NOT the event count
+    assert(st18State == expected.count(),
+      s"rapid-fire state $st18State != key-domain size ${expected.count()}")
   }
 
   test("ST-7b transformWithState sessionization equals Q25") {
