@@ -34,4 +34,22 @@ class BenchBudgetSpec extends AnyFunSuite {
     val headline = (1 to 10).map(i => s"b$i")
     assert(headline.forall(Bench.budgetsSf01.contains))
   }
+
+  test("budgets equal the BASELINE.md 2x-budget column (single source of truth)") {
+    // the budget table lives in BASELINE.md's Numbers section as
+    // "| B<i> ... | <duckdb> | <spark> | ≤ <budget> | ..." rows; parse
+    // it and require budgetsSf01 to match EXACTLY, so editing the
+    // baseline without the enforcement map (or vice versa) fails here
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = Seq("BASELINE.md", "../BASELINE.md", "/root/repo/BASELINE.md")
+      .map(Paths.get(_)).find(Files.exists(_))
+      .getOrElse(fail("BASELINE.md not found"))
+    val row = """^\| (B\d+) [^|]*\|[^|]*\|[^|]*\| ≤ ([0-9.]+) \|.*""".r
+    val parsed = Files.readAllLines(path).asScala.collect {
+      case row(q, b) => q.toLowerCase -> b.toDouble
+    }.toMap
+    assert(parsed == Bench.budgetsSf01,
+      s"BASELINE.md budget table $parsed drifted from Bench.budgetsSf01 ${Bench.budgetsSf01}")
+  }
 }
