@@ -38,6 +38,7 @@ object ExtensionQueries62 {
     val cf = query.join(docs.groupBy("tok").agg(count(lit(1)).as("cf")),
         Seq("tok"), "left")
       .select(col("tok"), coalesce(col("cf"), lit(0L)).as("cf"))
+      .limit(3) // tok unique in the grouped side: exactly 3 rows; structural cap
       .crossJoin(broadcast(corpus))
     val tf = docs.join(broadcast(query), "tok")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
