@@ -40,4 +40,31 @@ object Bfs {
     }
     dist
   }
+
+  /** Per-seed hop counts for SEVERAL independent seeds in ONE
+    * level-synchronous sweep: state is keyed by (seed, id), so k seeds
+    * share each round's frontier join instead of running k separate
+    * BFS loops — same round count, k× fewer jobs (the eccentricity
+    * probe went 18 joins → 6 with this).
+    *
+    * @param sources (seed, id) rows — each seed's BFS starts at its id
+    * @return (seed, id, hops) for every node within maxHops of seed
+    */
+  def labeledHops(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    var dist = sources.select(col("seed"), col("id"), lit(0).as("hops"))
+      .localCheckpoint()
+    var h = 1
+    while (h <= maxHops) {
+      val frontier = dist.filter(col("hops") === h - 1)
+      val next = frontier
+        .join(edges, frontier("id") === edges("src"))
+        .select(col("seed"), col("dst").as("id"), lit(h).as("hops"))
+      dist = dist.unionAll(next)
+        .groupBy("seed", "id").agg(min("hops").as("hops"))
+        .localCheckpoint()
+      h += 1
+    }
+    dist
+  }
 }
