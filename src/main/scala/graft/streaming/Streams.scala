@@ -196,6 +196,8 @@ object Streams {
     joinType match {
       case "inner" =>
         joined.select(col("click_id"), col("view_id"), col("cu").as("user_id"))
+      case "left_semi" => // only the probe side's columns exist
+        joined.select(col("click_id"), col("cu").as("user_id"), col("cts"))
       case "full_outer" =>
         joined.select(col("click_id"), col("view_id"),
           coalesce(col("cu"), col("vu")).as("user_id"), col("cts"), col("vts"))
@@ -204,6 +206,34 @@ object Streams {
           col("cts"))
     }
   }
+
+  // ---- ST-21 stream-stream LEFT SEMI interval join ------------------------
+  /** Clicks that HAVE a qualifying prior view — the existence filter
+    * without the view columns. Semi matches emit as soon as the first
+    * matching view arrives (no null-extension, so no watermark-withheld
+    * tail on the matched set): replay equals the batch left-semi join
+    * exactly once both inputs drain. State stays bounded by the same
+    * watermark + interval conjunct as ST-8.
+    */
+  def clickViewSemi(events: DataFrame, watermark: String = "10 minutes",
+      windowBack: String = "30 minutes"): DataFrame =
+    clickViewJoin(events, watermark, windowBack, "left_semi")
+
+  // ---- ST-22 stream-stream anti join (outer-filter rewrite) ---------------
+  /** Clicks with NO qualifying prior view — the abandonment detector.
+    * Structured Streaming does not support left_anti stream-stream
+    * joins directly; the standard rewrite is the watermarked LEFT OUTER
+    * join filtered to the null-extended rows, inheriting its emission
+    * discipline: an anti row emits only once the watermark proves no
+    * matching view can still arrive, so the youngest candidates stay
+    * withheld at stream end (bounded by ST-12's tail, asserted in the
+    * replay).
+    */
+  def clickViewAnti(events: DataFrame, watermark: String = "10 minutes",
+      windowBack: String = "30 minutes"): DataFrame =
+    clickViewJoin(events, watermark, windowBack, "left_outer")
+      .filter(col("view_id").isNull)
+      .select(col("click_id"), col("user_id"), col("cts"))
 
   // ---- ST-12 stream-stream LEFT OUTER interval join ----------------------
   /** Same join, left outer: a click with no qualifying view emits a

@@ -560,6 +560,53 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"old unmatched click never flushed: $heldBack")
   }
 
+  test("ST-21 left-semi interval join replay equals the batch semi join") {
+    val stream = Streams.clickViewSemi(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream, "append")
+    val expected = {
+      val clicks = batchEvents.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts").as("cts"))
+      val views = batchEvents.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts").as("vts"))
+      clicks.join(views,
+          col("cu") === col("vu") &&
+          col("vts") >= col("cts") - expr("interval 30 minutes") &&
+          col("vts") <= col("cts"), "left_semi")
+        .select(col("click_id"), col("cu").as("user_id"), col("cts"))
+    }
+    // semi matches are never withheld: exact equality on the full stream
+    assert(canon(got) == canon(expected))
+    assert(got.count() > 0, "semi semantics not exercised")
+  }
+
+  test("ST-22 anti join (outer-filter rewrite): true non-matches only, " +
+      "old candidates flushed") {
+    val stream = Streams.clickViewAnti(Streams.readEvents(spark, eventsDir))
+    val got = replay(stream, "append")
+    val expected = {
+      val clicks = batchEvents.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+          col("ts").as("cts"))
+      val views = batchEvents.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts").as("vts"))
+      clicks.join(views,
+          col("cu") === col("vu") &&
+          col("vts") >= col("cts") - expr("interval 30 minutes") &&
+          col("vts") <= col("cts"), "left_anti")
+        .select(col("click_id"), col("cu").as("user_id"), col("cts"))
+    }
+    // same discipline as ST-12's null side: every emission is a true
+    // batch non-match, nearly all flush, the withheld tail is young
+    val gotRows = canon(got)
+    val expRows = canon(expected)
+    assert(gotRows.nonEmpty, "anti semantics not exercised")
+    assert(gotRows.toSet.subsetOf(expRows.toSet),
+      "stream emitted an anti row for a click the batch join matches")
+    assert(gotRows.size >= (expRows.size * 8) / 10,
+      s"too many withheld anti rows: ${gotRows.size} of ${expRows.size}")
+  }
+
   test("ST-16 full-outer interval join: both null-extended sides match batch " +
       "on the watermark-safe prefix; young unmatched rows stay withheld") {
     val stream = Streams.clickViewFullOuter(Streams.readEvents(spark, eventsDir))
