@@ -33,7 +33,7 @@ object SparkEntry {
       graft.ops.ExtensionQueries27.all ++ graft.ops.ExtensionQueries28.all ++
       graft.ops.ExtensionQueries29.all ++ graft.ops.ExtensionQueries30.all ++
       graft.ops.ExtensionQueries31.all ++ graft.ops.ExtensionQueries32.all ++
-      graft.ops.ExtensionQueries33.all ++ graft.ops.ExtensionQueries34.all ++ graft.ops.ExtensionQueries35.all ++ graft.ops.ExtensionQueries36.all ++ graft.ops.ExtensionQueries37.all ++ graft.ops.ExtensionQueries38.all ++ graft.ops.ExtensionQueries39.all ++ graft.ops.ExtensionQueries40.all ++ graft.ops.ExtensionQueries41.all ++ graft.ops.ExtensionQueries42.all ++ graft.ops.ExtensionQueries43.all ++ graft.ops.ExtensionQueries44.all ++ graft.ops.ExtensionQueries45.all ++ graft.ops.ExtensionQueries46.all ++ graft.ops.ExtensionQueries47.all ++ graft.ops.ExtensionQueries48.all ++ graft.ops.ExtensionQueries49.all ++ graft.ops.ExtensionQueries50.all ++ graft.ops.ExtensionQueries51.all ++ graft.ops.ExtensionQueries52.all ++ graft.ops.ExtensionQueries53.all ++ graft.ops.ExtensionQueries54.all ++ graft.ops.ExtensionQueries55.all ++ graft.ops.ExtensionQueries56.all ++ graft.ops.ExtensionQueries57.all ++ graft.ops.ExtensionQueries58.all ++ graft.ops.ExtensionQueries59.all ++ graft.ops.ExtensionQueries60.all ++ graft.ops.ExtensionQueries61.all ++ graft.ops.ExtensionQueries62.all ++ graft.ops.ExtensionQueries63.all ++ graft.ops.ExtensionQueries64.all ++ graft.ops.ExtensionQueries65.all
+      graft.ops.ExtensionQueries33.all ++ graft.ops.ExtensionQueries34.all ++ graft.ops.ExtensionQueries35.all ++ graft.ops.ExtensionQueries36.all ++ graft.ops.ExtensionQueries37.all ++ graft.ops.ExtensionQueries38.all ++ graft.ops.ExtensionQueries39.all ++ graft.ops.ExtensionQueries40.all ++ graft.ops.ExtensionQueries41.all ++ graft.ops.ExtensionQueries42.all ++ graft.ops.ExtensionQueries43.all ++ graft.ops.ExtensionQueries44.all ++ graft.ops.ExtensionQueries45.all ++ graft.ops.ExtensionQueries46.all ++ graft.ops.ExtensionQueries47.all ++ graft.ops.ExtensionQueries48.all ++ graft.ops.ExtensionQueries49.all ++ graft.ops.ExtensionQueries50.all ++ graft.ops.ExtensionQueries51.all ++ graft.ops.ExtensionQueries52.all ++ graft.ops.ExtensionQueries53.all ++ graft.ops.ExtensionQueries54.all ++ graft.ops.ExtensionQueries55.all ++ graft.ops.ExtensionQueries56.all ++ graft.ops.ExtensionQueries57.all ++ graft.ops.ExtensionQueries58.all ++ graft.ops.ExtensionQueries59.all ++ graft.ops.ExtensionQueries60.all ++ graft.ops.ExtensionQueries61.all ++ graft.ops.ExtensionQueries62.all ++ graft.ops.ExtensionQueries63.all ++ graft.ops.ExtensionQueries64.all ++ graft.ops.ExtensionQueries65.all ++ graft.ops.ExtensionQueries66.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -58,5 +58,5 @@ object SparkEntry {
       graft.ops.ExtensionQueries27.oracleSql ++ graft.ops.ExtensionQueries28.oracleSql ++
       graft.ops.ExtensionQueries29.oracleSql ++ graft.ops.ExtensionQueries30.oracleSql ++
       graft.ops.ExtensionQueries31.oracleSql ++ graft.ops.ExtensionQueries32.oracleSql ++
-      graft.ops.ExtensionQueries33.oracleSql ++ graft.ops.ExtensionQueries34.oracleSql ++ graft.ops.ExtensionQueries35.oracleSql ++ graft.ops.ExtensionQueries36.oracleSql ++ graft.ops.ExtensionQueries37.oracleSql ++ graft.ops.ExtensionQueries38.oracleSql ++ graft.ops.ExtensionQueries39.oracleSql ++ graft.ops.ExtensionQueries40.oracleSql ++ graft.ops.ExtensionQueries41.oracleSql ++ graft.ops.ExtensionQueries42.oracleSql ++ graft.ops.ExtensionQueries43.oracleSql ++ graft.ops.ExtensionQueries44.oracleSql ++ graft.ops.ExtensionQueries45.oracleSql ++ graft.ops.ExtensionQueries46.oracleSql ++ graft.ops.ExtensionQueries47.oracleSql ++ graft.ops.ExtensionQueries48.oracleSql ++ graft.ops.ExtensionQueries49.oracleSql ++ graft.ops.ExtensionQueries50.oracleSql ++ graft.ops.ExtensionQueries51.oracleSql ++ graft.ops.ExtensionQueries52.oracleSql ++ graft.ops.ExtensionQueries53.oracleSql ++ graft.ops.ExtensionQueries54.oracleSql ++ graft.ops.ExtensionQueries55.oracleSql ++ graft.ops.ExtensionQueries56.oracleSql ++ graft.ops.ExtensionQueries57.oracleSql ++ graft.ops.ExtensionQueries58.oracleSql ++ graft.ops.ExtensionQueries59.oracleSql ++ graft.ops.ExtensionQueries60.oracleSql ++ graft.ops.ExtensionQueries61.oracleSql ++ graft.ops.ExtensionQueries62.oracleSql ++ graft.ops.ExtensionQueries63.oracleSql ++ graft.ops.ExtensionQueries64.oracleSql ++ graft.ops.ExtensionQueries65.oracleSql
+      graft.ops.ExtensionQueries33.oracleSql ++ graft.ops.ExtensionQueries34.oracleSql ++ graft.ops.ExtensionQueries35.oracleSql ++ graft.ops.ExtensionQueries36.oracleSql ++ graft.ops.ExtensionQueries37.oracleSql ++ graft.ops.ExtensionQueries38.oracleSql ++ graft.ops.ExtensionQueries39.oracleSql ++ graft.ops.ExtensionQueries40.oracleSql ++ graft.ops.ExtensionQueries41.oracleSql ++ graft.ops.ExtensionQueries42.oracleSql ++ graft.ops.ExtensionQueries43.oracleSql ++ graft.ops.ExtensionQueries44.oracleSql ++ graft.ops.ExtensionQueries45.oracleSql ++ graft.ops.ExtensionQueries46.oracleSql ++ graft.ops.ExtensionQueries47.oracleSql ++ graft.ops.ExtensionQueries48.oracleSql ++ graft.ops.ExtensionQueries49.oracleSql ++ graft.ops.ExtensionQueries50.oracleSql ++ graft.ops.ExtensionQueries51.oracleSql ++ graft.ops.ExtensionQueries52.oracleSql ++ graft.ops.ExtensionQueries53.oracleSql ++ graft.ops.ExtensionQueries54.oracleSql ++ graft.ops.ExtensionQueries55.oracleSql ++ graft.ops.ExtensionQueries56.oracleSql ++ graft.ops.ExtensionQueries57.oracleSql ++ graft.ops.ExtensionQueries58.oracleSql ++ graft.ops.ExtensionQueries59.oracleSql ++ graft.ops.ExtensionQueries60.oracleSql ++ graft.ops.ExtensionQueries61.oracleSql ++ graft.ops.ExtensionQueries62.oracleSql ++ graft.ops.ExtensionQueries63.oracleSql ++ graft.ops.ExtensionQueries64.oracleSql ++ graft.ops.ExtensionQueries65.oracleSql ++ graft.ops.ExtensionQueries66.oracleSql
 }
