@@ -159,14 +159,14 @@ object ExtensionQueries20 {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ext_srm" -> (extSrm _),
+    "ext_srm_chi2" -> (extSrm _),
     "ext_cuped" -> (extCuped _),
     "ext_fcsteval" -> (extFcsteval _),
     "ext_bollinger" -> (extBollinger _),
     "ext_sax" -> (extSax _))
 
   val oracleSql: Map[String, String] = Map(
-    "ext_srm" ->
+    "ext_srm_chi2" ->
       """with arms as (select
         |    ('0x' || substr(sha256(cast(user_id as varchar)), 1, 15))::bigint % 2
         |      arm

@@ -158,8 +158,8 @@ object ExtensionQueries21 {
     "ext_assort" -> (extAssort _),
     "ext_confusion" -> (extConfusion _),
     "ext_brier" -> (extBrier _),
-    "ext_elasticity" -> (extElasticity _),
-    "ext_silhouette" -> (extSilhouette _))
+    "ext_elasticity_unit" -> (extElasticity _),
+    "ext_silhouette_grid" -> (extSilhouette _))
 
   val oracleSql: Map[String, String] = Map(
     "ext_assort" ->
@@ -220,7 +220,7 @@ object ExtensionQueries21 {
         |  round(max(o * (1.0 - o)), 6) uncertainty
         |from terms""".stripMargin,
 
-    "ext_elasticity" ->
+    "ext_elasticity_unit" ->
       """select p_brand brand, cast(count(*) as bigint) n,
         |  round(regr_slope(ln(l_quantity), ln(l_extendedprice / l_quantity)), 6)
         |    elasticity
@@ -228,7 +228,7 @@ object ExtensionQueries21 {
         |where l_quantity > 0 and l_extendedprice > 0
         |group by 1 order by brand""".stripMargin,
 
-    "ext_silhouette" ->
+    "ext_silhouette_grid" ->
       """with dims as (select vec_id, label,
         |    generate_subscripts(embedding, 1) i,
         |    cast(unnest(embedding) as double) x from embeddings),

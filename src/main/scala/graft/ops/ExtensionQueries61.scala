@@ -16,7 +16,7 @@ object ExtensionQueries61 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  // ---- E-336 Page-Hinkley drift score --------------------------------------------
+  // ---- E-334 Page-Hinkley drift score --------------------------------------------
   // The sequential changepoint monitor: d_t = y_t − ȳ_t (deviation
   // from the RUNNING mean, quantized to 1e-4 before the cumulative
   // fold — E-257), U_T = Σ d_t, PH_T = U_T − min_{t≤T} U_t. A mean
@@ -42,7 +42,7 @@ object ExtensionQueries61 {
     scored.orderBy(desc("ph_dollars"), asc("dy")).limit(15)
   }
 
-  // ---- E-337 Krippendorff's alpha ------------------------------------------------
+  // ---- E-335 Krippendorff's alpha ------------------------------------------------
   // Chance-corrected agreement for the 3-judge binary keep/drop panel:
   // alpha = 1 − D_o/D_e with D_o from within-unit disagreeing rating
   // pairs (2·o_u·(3−o_u) per doc) and D_e from the pooled margins —
@@ -76,7 +76,7 @@ object ExtensionQueries61 {
           .as("alpha"))
   }
 
-  // ---- E-338 Cliff's delta -------------------------------------------------------
+  // ---- E-336 Cliff's delta -------------------------------------------------------
   // Ordinal effect size for purchase-vs-click event values:
   // δ = (#(x>y) − #(x<y)) / (n_x·n_y), computed EXACTLY without the
   // O(n²) pair join — collapse to the value level (cents), then one
@@ -111,7 +111,7 @@ object ExtensionQueries61 {
     "ext_cliffsdelta" -> (extCliffsdelta _))
 
   val oracleSql: Map[String, String] = Map(
-    // E-336: identical running-mean quantization and prefix-min fold.
+    // E-334: identical running-mean quantization and prefix-min fold.
     "ext_pagehinkley" ->
       """with day as (select cast(o_orderdate as date) dy,
         |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) y
@@ -130,7 +130,7 @@ object ExtensionQueries61 {
         |  round(cast(ph as double) / 1e6, 2) ph_dollars
         |from ph order by ph_dollars desc, dy limit 15""".stripMargin,
 
-    // E-337: identical judges, tallies, and chance correction.
+    // E-335: identical judges, tallies, and chance correction.
     "ext_krippendorff" ->
       """with j as (select
         |    case when len(list_filter(string_split(text, ' '),
@@ -152,7 +152,7 @@ object ExtensionQueries61 {
         |        cast(n * 3 - 1 as double)), 6) end alpha
         |from agg""".stripMargin,
 
-    // E-338: identical value-level collapse and cumulative counts.
+    // E-336: identical value-level collapse and cumulative counts.
     "ext_cliffsdelta" ->
       """with e as (select cast(round(value * 100) as bigint) v,
         |    case when event_type = 'purchase' then 1 else 0 end isx

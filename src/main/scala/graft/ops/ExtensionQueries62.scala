@@ -17,7 +17,7 @@ object ExtensionQueries62 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  // ---- E-339 Dirichlet query likelihood ------------------------------------------
+  // ---- E-337 Dirichlet query likelihood ------------------------------------------
   // score(q, d) = Σ_t log((tf_td + μ·p(t|C)) / (len_d + μ)), μ = 100 —
   // the query-likelihood LM ranking beside ext_bm25's tf-idf view.
   // Docs matching NO query term still score (pure background mass), so
@@ -77,7 +77,7 @@ object ExtensionQueries62 {
       .filter(col("rk") <= 20)
   }
 
-  // ---- E-340 rank-biased precision -----------------------------------------------
+  // ---- E-338 rank-biased precision -----------------------------------------------
   // RBP@20 with persistence p = 0.8: (1−p)·Σ rel_r·p^(r−1) per probe —
   // the user model where NDCG's log discount becomes a geometric one.
   // p-powers quantized to 1e-8 per rank before the per-probe fold;
@@ -95,7 +95,7 @@ object ExtensionQueries62 {
         round(max("rbp"), 6).as("max_rbp"))
   }
 
-  // ---- E-341 expected reciprocal rank --------------------------------------------
+  // ---- E-339 expected reciprocal rank --------------------------------------------
   // Cascade-model ERR@20 with R = 0.5 for relevant docs: the r-th
   // relevant result contributes 0.5^(c_r+1)/r where c_r counts the
   // relevant docs ranked above it (the user stopped at one of them
@@ -141,7 +141,7 @@ object ExtensionQueries62 {
       |rk as (select * from rk0 where rk <= 20)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // E-339: identical smoothing, background mass, and quantization.
+    // E-337: identical smoothing, background mass, and quantization.
     "ext_dirichletql" ->
       """with docs as (select doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') toks
@@ -169,7 +169,7 @@ object ExtensionQueries62 {
         |from terms group by doc_id
         |order by ql_score desc, doc_id limit 15""".stripMargin,
 
-    // E-340: identical ranked frame and geometric-discount quantization.
+    // E-338: identical ranked frame and geometric-discount quantization.
     "ext_rbp" ->
       s"""with $rankedSql,
         |per as (select probe_id,
@@ -182,7 +182,7 @@ object ExtensionQueries62 {
         |  round(max(rbp), 6) max_rbp
         |from per""".stripMargin,
 
-    // E-341: identical cascade model and prefix-relevance counts.
+    // E-339: identical cascade model and prefix-relevance counts.
     "ext_err" ->
       s"""with $rankedSql,
         |c as (select probe_id, rk, rel,

@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Round-7 extension queries, batch 63: operations-research planning —
   * the newsvendor critical-fractile stocking level from the empirical
-  * demand distribution (integer cross-multiplied quantile), Erlang-C
+  * demand distribution (integer cross-multiplied quantile) and Erlang-C
   * call-center staffing from measured arrival rates (quantized-log
-  * factorial terms), and normal-approximation safety stock per brand.
+  * factorial terms). (Safety stock was dropped as a duplicate of E-268.)
   */
 object ExtensionQueries63 {
 
@@ -24,7 +24,7 @@ object ExtensionQueries63 {
         to_date(col("l_shipdate")).as("dy"))
       .agg(sum(col("l_quantity").cast("long")).as("q"))
 
-  // ---- E-342 newsvendor critical fractile ----------------------------------------
+  // ---- E-340 newsvendor critical fractile ----------------------------------------
   // How much to stock when underage costs cu = 3 and overage co = 1:
   // q* = the smallest daily demand level whose empirical CDF reaches
   // cu/(cu+co) = 3/4, per brand — decided by INTEGER cross-multiply
@@ -46,7 +46,7 @@ object ExtensionQueries63 {
       .limit(15)
   }
 
-  // ---- E-343 Erlang-C staffing ---------------------------------------------------
+  // ---- E-341 Erlang-C staffing ---------------------------------------------------
   // P(wait) for c support agents given the MEASURED event arrival rate
   // λ (events/sec over the fixture span) and a 300 s mean handle time:
   // a = λ/μ, ErlangC = (a^c/c!) / ((1−ρ)·Σ_{k<c} a^k/k! + a^c/c!).
@@ -90,33 +90,9 @@ object ExtensionQueries63 {
       .orderBy("servers")
   }
 
-  // ---- E-344 safety stock --------------------------------------------------------
-  // Reorder point per brand for a 7-day lead time at 95% service:
-  // ROP = 7·μ_d + 1.645·σ_d·√7, with μ_d and σ_d from exact integer
-  // daily-demand moments (cross-multiplied variance — no raw
-  // sum-of-squares output, E-257). Top-15 brands by ROP.
-  def extSafetystock(s: SparkSession, dir: String): DataFrame = {
-    val d = dailyBrandDemand(s, dir)
-      .withColumn("qd", col("q").cast("decimal(38,0)"))
-    d.groupBy("brand")
-      .agg(count(lit(1)).as("n"), sum("qd").as("sq"),
-        sum(col("qd") * col("qd")).as("sqq"))
-      .filter(col("n") >= 2)
-      .select(col("brand"), col("n"),
-        round(col("sq").cast("double") / col("n"), 4).as("mean_daily"),
-        round(sqrt((col("n") * col("sqq") - col("sq") * col("sq"))
-          .cast("double") / col("n") / (col("n") - 1)), 4).as("sd_daily"))
-      .select(col("brand"), col("n"), col("mean_daily"), col("sd_daily"),
-        round(lit(7.0) * col("mean_daily") +
-          lit(1.645) * col("sd_daily") * sqrt(lit(7.0)), 2).as("rop"))
-      .orderBy(desc("rop"), asc("brand"))
-      .limit(15)
-  }
-
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ext_newsvendor" -> (extNewsvendor _),
-    "ext_erlangc" -> (extErlangc _),
-    "ext_safetystock" -> (extSafetystock _))
+    "ext_erlangc" -> (extErlangc _))
 
   private val demandSql =
     """d as (select p_brand brand, cast(l_shipdate as date) dy,
@@ -125,7 +101,7 @@ object ExtensionQueries63 {
       |  group by 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // E-342: identical value-level CDF and cross-multiplied fractile.
+    // E-340: identical value-level CDF and cross-multiplied fractile.
     "ext_newsvendor" ->
       s"""with $demandSql,
         |lvl as (select brand, q, cast(count(*) as bigint) nd
@@ -139,7 +115,7 @@ object ExtensionQueries63 {
         |from cum where cum * 4 >= n_days * 3
         |group by brand order by q_star desc, brand limit 15""".stripMargin,
 
-    // E-343: identical measured rate and quantized-log factorial terms.
+    // E-341: identical measured rate and quantized-log factorial terms.
     "ext_erlangc" ->
       """with rate as (select
         |    cast(count(*) as double) /
@@ -164,21 +140,5 @@ object ExtensionQueries63 {
         |  case when a / k < 1 then
         |    round(term / ((1.0 - a / k) * prefix + term) /
         |      (k / 300.0 - lam), 2) end mean_wait_sec
-        |from pf where k between 2 and 8 order by servers""".stripMargin,
-
-    // E-344: identical exact moments and z = 1.645 normal form.
-    "ext_safetystock" ->
-      s"""with $demandSql,
-        |m as (select brand, cast(count(*) as bigint) n,
-        |    sum(cast(q as hugeint)) sq,
-        |    sum(cast(q as hugeint) * q) sqq
-        |  from d group by brand having count(*) >= 2),
-        |st as (select brand, n,
-        |    round(cast(sq as double) / n, 4) mean_daily,
-        |    round(sqrt(cast(n * sqq - sq * sq as double) / n / (n - 1)),
-        |      4) sd_daily
-        |  from m)
-        |select brand, n, mean_daily, sd_daily,
-        |  round(7.0 * mean_daily + 1.645 * sd_daily * sqrt(7.0), 2) rop
-        |from st order by rop desc, brand limit 15""".stripMargin)
+        |from pf where k between 2 and 8 order by servers""".stripMargin)
 }

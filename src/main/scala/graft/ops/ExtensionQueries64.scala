@@ -16,7 +16,7 @@ object ExtensionQueries64 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  // ---- E-345 average-neighbor-degree profile -------------------------------------
+  // ---- E-342 average-neighbor-degree profile -------------------------------------
   // knn(k) over the supplier-part incidence graph: for suppliers of
   // degree k, the mean degree of the PARTS they touch — the rising or
   // falling curve behind the single assortativity number (E-199).
@@ -37,7 +37,7 @@ object ExtensionQueries64 {
       .limit(30)
   }
 
-  // ---- E-346 Theil's U forecast skill --------------------------------------------
+  // ---- E-343 Theil's U forecast skill --------------------------------------------
   // Does weekly seasonality beat persistence on daily revenue?
   // U = RMSE(seasonal-naive, lag 7) / RMSE(naive, lag 1) — U < 1 means
   // the weekly pattern carries real signal. Errors are exact cent
@@ -66,7 +66,7 @@ object ExtensionQueries64 {
           .as("theil_u"))
   }
 
-  // ---- E-347 demand-pattern quadrant ---------------------------------------------
+  // ---- E-344 demand-pattern quadrant ---------------------------------------------
   // Syntetos-Boylan forecastability per brand: ADI = demand days /
   // nonzero-demand days... here every observed day has demand, so ADI
   // uses the CALENDAR span: span_days / demand_days; CV² of the
@@ -114,7 +114,7 @@ object ExtensionQueries64 {
     "ext_demandclass" -> (extDemandclass _))
 
   val oracleSql: Map[String, String] = Map(
-    // E-345: identical degree tables and per-k means.
+    // E-342: identical degree tables and per-k means.
     "ext_nbrdegree" ->
       """with e as (select distinct l_suppkey s, l_partkey p from lineitem),
         |sd as (select s, cast(count(*) as bigint) ds from e group by s),
@@ -126,7 +126,7 @@ object ExtensionQueries64 {
         |from e join sd on e.s = sd.s join pd on e.p = pd.p
         |group by ds order by k limit 30""".stripMargin,
 
-    // E-346: identical lags and decimal squared-error sums.
+    // E-343: identical lags and decimal squared-error sums.
     "ext_theilu" ->
       """with day as (select cast(o_orderdate as date) dy,
         |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) y
@@ -145,7 +145,7 @@ object ExtensionQueries64 {
         |    cast(sum(e1 * e1) as double)), 6) theil_u
         |from f""".stripMargin,
 
-    // E-347: identical ADI/CV² forms and canonical quadrant cuts.
+    // E-344: identical ADI/CV² forms and canonical quadrant cuts.
     "ext_demandclass" ->
       """with d as (select p_brand brand, cast(l_shipdate as date) dy,
         |    cast(sum(cast(l_quantity as bigint)) as bigint) q

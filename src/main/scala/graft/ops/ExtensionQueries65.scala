@@ -4,10 +4,10 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 extension queries, batch 65: corpus stylometry and data
-  * profiling — Burrows' Delta authorship distance between languages,
+/** Round-7 extension queries, batch 65: corpus and data profiling —
   * Gries' DP token dispersion across sources, the psychological
   * price-ending audit, and a declared functional-dependency audit.
+  * (A Burrows' Delta variant was dropped as a duplicate of E-285.)
   */
 object ExtensionQueries65 {
 
@@ -19,45 +19,7 @@ object ExtensionQueries65 {
       .select(col(by),
         explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
 
-  // ---- E-348 Burrows' Delta ------------------------------------------------------
-  // The stylometry classic between language sub-corpora: z-score each
-  // of the top-20 corpus tokens' relative frequencies across the 5
-  // languages, then Delta(a,b) = mean |z_a − z_b| over the tokens.
-  // Tokens and langs are bounded spines (limit-capped); z-scores are
-  // quantized to 1e-6 before the pair fold so the 10 pair rows settle
-  // identically on both engines.
-  def extBurrows(s: SparkSession, dir: String): DataFrame = {
-    val tk = toks(s, dir, "lang")
-    val top = tk.groupBy("tok").agg(count(lit(1)).as("cf"))
-      .orderBy(desc("cf"), asc("tok")).limit(20).select("tok")
-    val langTotals = tk.groupBy("lang").agg(count(lit(1)).as("nl"))
-      .limit(8) // closed lang domain; structural cap
-    val counts = tk.join(broadcast(top), "tok")
-      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-    val grid = langTotals.crossJoin(broadcast(top))
-      .join(counts, Seq("lang", "tok"), "left")
-      .select(col("lang"), col("tok"),
-        (coalesce(col("c"), lit(0L)).cast("double") / col("nl")).as("f"))
-    // per-token mean/sd over the 5 langs (population sd, n = #langs)
-    val stats = grid.groupBy("tok")
-      .agg(count(lit(1)).as("nlang"), avg("f").as("mu"),
-        sqrt(avg(col("f") * col("f")) - avg("f") * avg("f")).as("sd"))
-    val z = grid.join(stats, "tok")
-      .select(col("lang"), col("tok"),
-        when(col("sd") > 0,
-          round((col("f") - col("mu")) / col("sd") * 1e6).cast("long"))
-          .otherwise(0L).as("zq"))
-    val za = z.select(col("lang").as("lang_a"), col("tok"), col("zq").as("za"))
-    val zb = z.select(col("lang").as("lang_b"), col("tok"), col("zq").as("zb"))
-    za.join(zb, Seq("tok")).filter(col("lang_a") < col("lang_b"))
-      .groupBy("lang_a", "lang_b")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(abs(col("za") - col("zb"))).cast("double") /
-          count(lit(1)) / 1e6, 6).as("burrows_delta"))
-      .orderBy("lang_a", "lang_b")
-  }
-
-  // ---- E-349 Gries' DP dispersion ------------------------------------------------
+  // ---- E-345 Gries' DP dispersion ------------------------------------------------
   // How evenly is each frequent token spread over the 20 sources?
   // DP = 0.5·Σ_s |obs_share_s − expected_share_s| where expected is the
   // source's share of the whole corpus — 0 = perfectly proportional,
@@ -87,7 +49,7 @@ object ExtensionQueries65 {
       .limit(15)
   }
 
-  // ---- E-350 price-ending audit --------------------------------------------------
+  // ---- E-346 price-ending audit --------------------------------------------------
   // Psychological pricing screen: the distribution of the last two
   // cent digits of order totals vs the uniform 1/100 expectation, with
   // the overall χ² as a constant column (the ext_benford convention).
@@ -110,7 +72,7 @@ object ExtensionQueries65 {
       .limit(10)
   }
 
-  // ---- E-351 functional-dependency audit -----------------------------------------
+  // ---- E-347 functional-dependency audit -----------------------------------------
   // Data-profiling: do the declared FDs actually hold? For each
   // candidate A→B: keys = distinct A, violations = A-values with >1
   // distinct B. Two true FDs (custkey→nationkey, partkey→brand) and
@@ -137,42 +99,12 @@ object ExtensionQueries65 {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ext_burrows" -> (extBurrows _),
     "ext_dispersion" -> (extDispersion _),
     "ext_priceending" -> (extPriceending _),
     "ext_fdaudit" -> (extFdaudit _))
 
   val oracleSql: Map[String, String] = Map(
-    // E-348: identical top-token spine, z quantization, pair fold.
-    "ext_burrows" ->
-      """with tk as (select lang,
-        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) tok
-        |  from documents),
-        |top as (select tok from (select tok, count(*) cf from tk
-        |  group by tok order by cf desc, tok limit 20)),
-        |lt as (select lang, cast(count(*) as bigint) nl
-        |  from tk group by lang),
-        |cnt as (select lang, tk.tok, cast(count(*) as bigint) c
-        |  from tk join top on tk.tok = top.tok group by lang, tk.tok),
-        |grid as (select lt.lang, top.tok,
-        |    cast(coalesce(cnt.c, 0) as double) / lt.nl f
-        |  from lt cross join top
-        |  left join cnt on cnt.lang = lt.lang and cnt.tok = top.tok),
-        |st as (select tok, avg(f) mu,
-        |    sqrt(avg(f * f) - avg(f) * avg(f)) sd
-        |  from grid group by tok),
-        |z as (select lang, grid.tok,
-        |    case when sd > 0 then
-        |      cast(round((f - mu) / sd * 1e6) as bigint) else 0 end zq
-        |  from grid join st on grid.tok = st.tok)
-        |select a.lang lang_a, b.lang lang_b,
-        |  cast(count(*) as bigint) n_tokens,
-        |  round(cast(sum(abs(a.zq - b.zq)) as double) / count(*) / 1e6, 6)
-        |    burrows_delta
-        |from z a join z b on a.tok = b.tok and a.lang < b.lang
-        |group by a.lang, b.lang order by lang_a, lang_b""".stripMargin,
-
-    // E-349: identical spine, expected shares, and quantized diffs.
+    // E-345: identical spine, expected shares, and quantized diffs.
     "ext_dispersion" ->
       """with tk as (select source,
         |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) tok
@@ -194,7 +126,7 @@ object ExtensionQueries65 {
         |from grid group by tok
         |order by gries_dp desc, tok limit 15""".stripMargin,
 
-    // E-350: identical ending extraction and χ² fold.
+    // E-346: identical ending extraction and χ² fold.
     "ext_priceending" ->
       """with e as (select cast(round(o_totalprice * 100) as bigint) % 100
         |    ending
@@ -211,7 +143,7 @@ object ExtensionQueries65 {
         |from dist cross join tot
         |order by n desc, ending limit 10""".stripMargin,
 
-    // E-351: identical FD checks and union.
+    // E-347: identical FD checks and union.
     "ext_fdaudit" ->
       """with f1 as (select 'custkey->nationkey' fd,
         |    cast(count(*) as bigint) n_keys,

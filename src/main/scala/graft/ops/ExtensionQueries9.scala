@@ -195,11 +195,11 @@ object ExtensionQueries9 {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ext_rfm" -> (extRfm _),
     "ext_jsd" -> (extJsd _),
-    "ext_cohend" -> (extCohenD _),
+    "ext_cohend_events" -> (extCohenD _),
     "ext_cramersv" -> (extCramersV _),
     "ext_theil" -> (extTheil _),
     "ext_winnow" -> (extWinnow _),
-    "ext_oov" -> (extOov _))
+    "ext_oov_top20" -> (extOov _))
 
   val oracleSql: Map[String, String] = Map(
     "ext_rfm" ->
@@ -231,7 +231,7 @@ object ExtensionQueries9 {
         |      else 0 end), 6) jsd
         |from c cross join t""".stripMargin,
 
-    "ext_cohend" ->
+    "ext_cohend_events" ->
       """select
         |  count(value) filter (where event_type = 'purchase') n_purchase,
         |  count(value) filter (where event_type = 'click') n_click,
@@ -290,7 +290,7 @@ object ExtensionQueries9 {
         |  array_to_string(list_sort(list(distinct mh)), ',') fp_csv
         |from w where doc_id < 50 group by doc_id order by doc_id""".stripMargin,
 
-    "ext_oov" ->
+    "ext_oov_top20" ->
       """with tk as (select source,
         |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) tok
         |  from documents),

@@ -46,6 +46,18 @@ class SurveyInventorySpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"duplicate §2 operator IDs: ${dupes.mkString(", ")}")
   }
 
+  test("no batch silently shadows another batch's query (Map ++ collision guard)") {
+    // Map ++ overwrites duplicate keys without warning: a round-7 batch
+    // shipped six operators that silently REPLACED same-named round-6
+    // operators. The batch list must merge without any key collision.
+    assert(SparkEntry.queries.size == SparkEntry.queryBatchSizeSum,
+      s"query-key collision: merged ${SparkEntry.queries.size} != " +
+        s"sum of batch sizes ${SparkEntry.queryBatchSizeSum}")
+    assert(SparkEntry.oracleSql.size == SparkEntry.oracleBatchSizeSum,
+      s"oracle-key collision: merged ${SparkEntry.oracleSql.size} != " +
+        s"sum of batch sizes ${SparkEntry.oracleBatchSizeSum}")
+  }
+
   test("every driver-gated query is cited by at least one §2 row") {
     // citations appear in the Oracle column in mixed case (B9, Q19,
     // q46_subq, ext_minhash_neardup); compare lowercase on word
