@@ -90,7 +90,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries63.all,
       graft.ops.ExtensionQueries64.all,
       graft.ops.ExtensionQueries65.all,
-      graft.ops.ExtensionQueries66.all)
+      graft.ops.ExtensionQueries66.all,
+      graft.ops.ExtensionQueries67.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -171,7 +172,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries63.oracleSql,
       graft.ops.ExtensionQueries64.oracleSql,
       graft.ops.ExtensionQueries65.oracleSql,
-      graft.ops.ExtensionQueries66.oracleSql)
+      graft.ops.ExtensionQueries66.oracleSql,
+      graft.ops.ExtensionQueries67.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
