@@ -91,7 +91,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries64.all,
       graft.ops.ExtensionQueries65.all,
       graft.ops.ExtensionQueries66.all,
-      graft.ops.ExtensionQueries67.all)
+      graft.ops.ExtensionQueries67.all,
+      graft.ops.ExtensionQueries68.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -173,7 +174,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries64.oracleSql,
       graft.ops.ExtensionQueries65.oracleSql,
       graft.ops.ExtensionQueries66.oracleSql,
-      graft.ops.ExtensionQueries67.oracleSql)
+      graft.ops.ExtensionQueries67.oracleSql,
+      graft.ops.ExtensionQueries68.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
