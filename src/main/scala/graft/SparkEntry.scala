@@ -92,7 +92,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries65.all,
       graft.ops.ExtensionQueries66.all,
       graft.ops.ExtensionQueries67.all,
-      graft.ops.ExtensionQueries68.all)
+      graft.ops.ExtensionQueries68.all,
+      graft.ops.ExtensionQueries69.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -175,7 +176,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries65.oracleSql,
       graft.ops.ExtensionQueries66.oracleSql,
       graft.ops.ExtensionQueries67.oracleSql,
-      graft.ops.ExtensionQueries68.oracleSql)
+      graft.ops.ExtensionQueries68.oracleSql,
+      graft.ops.ExtensionQueries69.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
