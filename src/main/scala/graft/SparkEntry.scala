@@ -93,7 +93,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries66.all,
       graft.ops.ExtensionQueries67.all,
       graft.ops.ExtensionQueries68.all,
-      graft.ops.ExtensionQueries69.all)
+      graft.ops.ExtensionQueries69.all,
+      graft.ops.ExtensionQueries70.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -177,7 +178,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries66.oracleSql,
       graft.ops.ExtensionQueries67.oracleSql,
       graft.ops.ExtensionQueries68.oracleSql,
-      graft.ops.ExtensionQueries69.oracleSql)
+      graft.ops.ExtensionQueries69.oracleSql,
+      graft.ops.ExtensionQueries70.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
