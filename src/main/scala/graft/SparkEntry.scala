@@ -94,7 +94,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries67.all,
       graft.ops.ExtensionQueries68.all,
       graft.ops.ExtensionQueries69.all,
-      graft.ops.ExtensionQueries70.all)
+      graft.ops.ExtensionQueries70.all,
+      graft.ops.ExtensionQueries71.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -179,7 +180,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries67.oracleSql,
       graft.ops.ExtensionQueries68.oracleSql,
       graft.ops.ExtensionQueries69.oracleSql,
-      graft.ops.ExtensionQueries70.oracleSql)
+      graft.ops.ExtensionQueries70.oracleSql,
+      graft.ops.ExtensionQueries71.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
