@@ -95,7 +95,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries68.all,
       graft.ops.ExtensionQueries69.all,
       graft.ops.ExtensionQueries70.all,
-      graft.ops.ExtensionQueries71.all)
+      graft.ops.ExtensionQueries71.all,
+      graft.ops.ExtensionQueries72.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -181,7 +182,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries68.oracleSql,
       graft.ops.ExtensionQueries69.oracleSql,
       graft.ops.ExtensionQueries70.oracleSql,
-      graft.ops.ExtensionQueries71.oracleSql)
+      graft.ops.ExtensionQueries71.oracleSql,
+      graft.ops.ExtensionQueries72.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
