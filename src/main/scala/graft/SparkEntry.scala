@@ -96,7 +96,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries69.all,
       graft.ops.ExtensionQueries70.all,
       graft.ops.ExtensionQueries71.all,
-      graft.ops.ExtensionQueries72.all)
+      graft.ops.ExtensionQueries72.all,
+      graft.ops.ExtensionQueries73.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -183,7 +184,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries69.oracleSql,
       graft.ops.ExtensionQueries70.oracleSql,
       graft.ops.ExtensionQueries71.oracleSql,
-      graft.ops.ExtensionQueries72.oracleSql)
+      graft.ops.ExtensionQueries72.oracleSql,
+      graft.ops.ExtensionQueries73.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
