@@ -97,7 +97,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries70.all,
       graft.ops.ExtensionQueries71.all,
       graft.ops.ExtensionQueries72.all,
-      graft.ops.ExtensionQueries73.all)
+      graft.ops.ExtensionQueries73.all,
+      graft.ops.ExtensionQueries74.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -185,7 +186,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries70.oracleSql,
       graft.ops.ExtensionQueries71.oracleSql,
       graft.ops.ExtensionQueries72.oracleSql,
-      graft.ops.ExtensionQueries73.oracleSql)
+      graft.ops.ExtensionQueries73.oracleSql,
+      graft.ops.ExtensionQueries74.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
