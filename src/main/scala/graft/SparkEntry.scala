@@ -98,7 +98,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries71.all,
       graft.ops.ExtensionQueries72.all,
       graft.ops.ExtensionQueries73.all,
-      graft.ops.ExtensionQueries74.all)
+      graft.ops.ExtensionQueries74.all,
+      graft.ops.ExtensionQueries75.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -187,7 +188,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries71.oracleSql,
       graft.ops.ExtensionQueries72.oracleSql,
       graft.ops.ExtensionQueries73.oracleSql,
-      graft.ops.ExtensionQueries74.oracleSql)
+      graft.ops.ExtensionQueries74.oracleSql,
+      graft.ops.ExtensionQueries75.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
