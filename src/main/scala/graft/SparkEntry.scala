@@ -99,7 +99,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries72.all,
       graft.ops.ExtensionQueries73.all,
       graft.ops.ExtensionQueries74.all,
-      graft.ops.ExtensionQueries75.all)
+      graft.ops.ExtensionQueries75.all,
+      graft.ops.ExtensionQueries76.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -189,7 +190,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries72.oracleSql,
       graft.ops.ExtensionQueries73.oracleSql,
       graft.ops.ExtensionQueries74.oracleSql,
-      graft.ops.ExtensionQueries75.oracleSql)
+      graft.ops.ExtensionQueries75.oracleSql,
+      graft.ops.ExtensionQueries76.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
