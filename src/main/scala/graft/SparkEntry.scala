@@ -100,7 +100,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries73.all,
       graft.ops.ExtensionQueries74.all,
       graft.ops.ExtensionQueries75.all,
-      graft.ops.ExtensionQueries76.all)
+      graft.ops.ExtensionQueries76.all,
+      graft.ops.ExtensionQueries77.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -191,7 +192,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries73.oracleSql,
       graft.ops.ExtensionQueries74.oracleSql,
       graft.ops.ExtensionQueries75.oracleSql,
-      graft.ops.ExtensionQueries76.oracleSql)
+      graft.ops.ExtensionQueries76.oracleSql,
+      graft.ops.ExtensionQueries77.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
