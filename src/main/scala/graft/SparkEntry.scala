@@ -101,7 +101,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries74.all,
       graft.ops.ExtensionQueries75.all,
       graft.ops.ExtensionQueries76.all,
-      graft.ops.ExtensionQueries77.all)
+      graft.ops.ExtensionQueries77.all,
+      graft.ops.ExtensionQueries78.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -193,7 +194,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries74.oracleSql,
       graft.ops.ExtensionQueries75.oracleSql,
       graft.ops.ExtensionQueries76.oracleSql,
-      graft.ops.ExtensionQueries77.oracleSql)
+      graft.ops.ExtensionQueries77.oracleSql,
+      graft.ops.ExtensionQueries78.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
