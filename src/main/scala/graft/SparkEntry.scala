@@ -102,7 +102,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries75.all,
       graft.ops.ExtensionQueries76.all,
       graft.ops.ExtensionQueries77.all,
-      graft.ops.ExtensionQueries78.all)
+      graft.ops.ExtensionQueries78.all,
+      graft.ops.ExtensionQueries79.all)
 
   val queryBatchSizeSum: Int = queryBatches.map(_.size).sum
 
@@ -195,7 +196,8 @@ object SparkEntry {
       graft.ops.ExtensionQueries75.oracleSql,
       graft.ops.ExtensionQueries76.oracleSql,
       graft.ops.ExtensionQueries77.oracleSql,
-      graft.ops.ExtensionQueries78.oracleSql)
+      graft.ops.ExtensionQueries78.oracleSql,
+      graft.ops.ExtensionQueries79.oracleSql)
 
   val oracleBatchSizeSum: Int = oracleBatches.map(_.size).sum
 
