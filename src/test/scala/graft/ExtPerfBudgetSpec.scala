@@ -22,6 +22,10 @@ class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
     * blowup (10×+) still fails.
     */
   private val budgetsSf001: Seq[(String, Double)] = Seq(
+    "ext_removaleffect" -> 28.0, // measured 5.7 s (6 fixed chain steps
+    // on a ≤42-row frame — scale-independent; the budget guards the
+    // scalable window+count base, not the fixed propagation)
+    "ext_bradleyterry" -> 13.0, // 2.0 s
     "ext_eccentricity" -> 27.0, // measured 5.5 s
     "ext_canonical" -> 21.0, // 3.9 s
     "q66_recursive" -> 20.0, // 3.7 s
