@@ -450,6 +450,65 @@ object Streams {
       }
   }
 
+  case class EwmaState(ewmaCents: Long, nEvents: Long)
+  case class EwmaOut(event_type: String, n_events: Long, ewma_cents: Long)
+
+  /** ST-23: keyed streaming EWMA — the live smoothing level per
+    * event type (the stream side of the E-355 batch smoother). The
+    * recursion e ← (x + e) DIV 2 (α = ½) runs entirely in INTEGER
+    * cents with floor division, so stream and batch are bit-identical
+    * for identically-ordered input; rows sort (ts, event_id) within
+    * each micro-batch and the (ewma, count) state carries across
+    * batches (the ST-18/ST-20 ordering contract). State is one row
+    * per event type — O(key domain), never O(stream).
+    */
+  def ewmaByType(events: DataFrame): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, rows, state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L))
+          sorted.foreach { case (_, cents, _, _) =>
+            val e =
+              if (st.nEvents == 0L) cents
+              else Math.floorDiv(cents + st.ewmaCents, 2L)
+            st = EwmaState(e, st.nEvents + 1L)
+          }
+          state.update(st)
+          Iterator.single(EwmaOut(tpe, st.nEvents, st.ewmaCents))
+      }
+  }
+
+  /** The batch formulation of the same fold — ST-23's replay anchor. */
+  def ewmaByTypeBatch(events: DataFrame): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+        var e = Long.MinValue
+        var n = 0L
+        sorted.foreach { case (_, cents, _, _) =>
+          e = if (n == 0L) cents else Math.floorDiv(cents + e, 2L)
+          n += 1L
+        }
+        EwmaOut(tpe, n, e)
+      }
+  }
+
   /** ST-19: idempotent foreachBatch parquet sink — the exactly-once
     * write discipline. Structured Streaming guarantees at-least-once
     * foreachBatch invocation: after a driver failure the LAST batch is

@@ -419,6 +419,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"token-bucket state $st20State != user count $nUsers")
   }
 
+  test("ST-23 keyed streaming EWMA replay equals the batch fold") {
+    // Same ordering contract as ST-20: the EWMA recursion is an
+    // order-sensitive integer fold, so the split is time-disjoint with
+    // pinned file mtimes; the (ewma, count) state must carry across
+    // the micro-batch boundary for the final per-type level to match
+    // the single-pass batch fold.
+    val tmp = Files.createTempDirectory("events_ewma")
+    val all = batchEvents.orderBy("ts", "event_id")
+    val cut = all.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    all.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$tmp/a")
+    all.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$tmp/b")
+    Files.move(Files.list(Paths.get(s"$tmp/a")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/a.parquet"))
+    Files.move(Files.list(Paths.get(s"$tmp/b")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/b.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/a"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/b"))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    val schema = Streams.readEvents(spark, eventsDir).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val (gotRaw, st23State) = replayWithState(
+      Streams.ewmaByType(streamIn).toDF(), "update")
+    // update mode re-emits per micro-batch: the final row per type is
+    // the one with the max running count
+    val got = gotRaw
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("n_events").desc)))
+      .filter(col("rk") === 1).drop("rk")
+    val batchIn = spark.read.parquet(s"$tmp/a.parquet", s"$tmp/b.parquet")
+    val expected = Streams.ewmaByTypeBatch(batchIn).toDF()
+    assert(canon(got) == canon(expected))
+    // one state row per event type — O(key domain) only
+    val nTypes = batchEvents.select("event_type").distinct().count()
+    assert(st23State == nTypes,
+      s"ewma state $st23State != type count $nTypes")
+  }
+
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
     // The lakehouse MERGE pattern without a table format: each
     // micro-batch folds into a running latest-per-key state via
