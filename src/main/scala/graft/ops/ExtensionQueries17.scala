@@ -79,8 +79,10 @@ object ExtensionQueries17 {
   // (|sources|×|langs|), never row-scaled.
   def extHellinger(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val spine = docs.select("source").distinct().limit(64) // closed source domain
-      .crossJoin(docs.select("lang").distinct().limit(64)) // closed lang domain
+    // domain caps ordered: a broken closed-domain assumption yields a
+    // deterministic prefix, not an arbitrary nondeterministic subset
+    val spine = docs.select("source").distinct().orderBy("source").limit(64)
+      .crossJoin(docs.select("lang").distinct().orderBy("lang").limit(64))
     val sl = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
     val sTot = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
     val lTot = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))

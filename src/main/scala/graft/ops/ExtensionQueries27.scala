@@ -21,8 +21,11 @@ object ExtensionQueries27 {
     t(s, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
 
-  /** Distinct co-ordered part pairs (the E-38 undirected graph, u < v). */
-  private def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct co-ordered part pairs (the E-38 undirected graph, u < v).
+    * Public so [[graft.tools.ScaleProbe]] measures cardinalities on the
+    * exact graph the trussup/clustcoef queries run on.
+    */
+  def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
     li.select(col("l_orderkey").as("o"), col("l_partkey").as("u"))
       .join(li.select(col("l_orderkey").as("o"), col("l_partkey").as("v")), "o")

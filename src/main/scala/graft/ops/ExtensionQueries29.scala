@@ -37,7 +37,9 @@ object ExtensionQueries29 {
         floor(round(col("c_acctbal") * 100).cast("long") / lit(200000.0))
           .cast("long").as("b"))
     val global = c.groupBy("b").agg(count(lit(1)).as("cg"))
-      .limit(16) // acctbal in [-999.99, 9999.99] => <=7 buckets; structural cap
+      // acctbal in [-999.99, 9999.99] => <=7 buckets; structural cap,
+      // ordered so a broken bucket-domain assumption is deterministic
+      .orderBy("b").limit(16)
     val n = c.agg(count(lit(1)).as("n_all"))
     val groups = c.groupBy("nk", "seg").agg(count(lit(1)).as("ng"))
     val cells = c.groupBy("nk", "seg", "b").agg(count(lit(1)).as("ci"))

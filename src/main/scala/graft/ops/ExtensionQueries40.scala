@@ -72,7 +72,9 @@ object ExtensionQueries40 {
       col("y").as("y2")), "i2")
       .select(col("k"), col("x1"), col("y1"),
         (col("x2") - col("x1")).as("ldx"), (col("y2") - col("y1")).as("ldy"))
-      .limit(20) // 20 candidates, x unique per day; structural cap
+      // 20 candidates, x unique per day; structural cap, ordered so an
+      // overflow of the candidate domain stays deterministic
+      .orderBy("k").limit(20)
     val tol = 500000L // $5k band, in cents
     val votes = d.crossJoin(broadcast(p2))
       .filter(abs((col("y") - col("y1")).cast("decimal(38,0)") * col("ldx") -

@@ -107,8 +107,11 @@ object ExtensionQueries9 {
   def extCramersV(s: SparkSession, dir: String): DataFrame = {
     val cells = t(s, dir, "documents").groupBy("lang", "source")
       .agg(count(lit(1)).as("o"))
-    val grid = cells.select("lang").distinct().limit(64) // closed lang domain
-      .crossJoin(cells.select("source").distinct().limit(64)) // closed source domain
+    // domain caps ordered so that if the closed-domain assumption ever
+    // breaks, the retained subset is deterministic (not an arbitrary
+    // partition-order prefix that would silently shift zero-cells)
+    val grid = cells.select("lang").distinct().orderBy("lang").limit(64)
+      .crossJoin(cells.select("source").distinct().orderBy("source").limit(64))
     val full = grid.join(cells, Seq("lang", "source"), "left")
       .select(col("lang"), col("source"), coalesce(col("o"), lit(0L)).as("o"))
     val rt = full.groupBy("lang").agg(sum("o").as("rt"))

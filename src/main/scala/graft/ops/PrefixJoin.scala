@@ -81,7 +81,16 @@ object PrefixJoin {
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .withColumn("__u", size(array_union(col("__sa"), col("__sb"))).cast("long"))
       .filter(col("__i") * den >= col("__u") * num)
-    verified.select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-      (col("__i").cast("double") / col("__u")).as("jaccard"))
+    val out = verified.select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        (col("__i").cast("double") / col("__u")).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small: verified pairs only) result while ranked
+    // is still cached, then release the big intermediate — without this
+    // every selfJoin call leaked ranked's blocks for the session
+    // lifetime. The persisted result is bounded by the true-pair count,
+    // not the corpus.
+    out.count()
+    ranked.unpersist(blocking = false)
+    out
   }
 }

@@ -23,15 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Every triangle exactly once as (a, b, c) in orientation order.
+  /** Degree orientation: each undirected edge directed from its
+    * lower-(degree, id) endpoint `s` to the higher `t`. Exposed so
+    * scaling probes can measure the wedge count Σ_s d_out·(d_out−1)/2 —
+    * the exact size of the e1 ⋈ e2 join below, the quantity that must
+    * stay sub-quadratic for triangle work to survive a 100× scale-up.
     *
     * @param edges undirected edge list as (u, v) with u < v, distinct.
     */
-  def triangleList(edges: DataFrame): DataFrame = {
+  def orient(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("k"))
       .unionAll(edges.select(col("v").as("k")))
       .groupBy("k").agg(count(lit(1)).as("d"))
-    val oriented = edges
+    edges
       .join(deg.select(col("k").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("k").as("v"), col("d").as("dv")), "v")
       .select(
@@ -41,6 +45,14 @@ object Triangles {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"))
+  }
+
+  /** Every triangle exactly once as (a, b, c) in orientation order.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    */
+  def triangleList(edges: DataFrame): DataFrame = {
+    val oriented = orient(edges)
     val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
     val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
     val e3 = oriented.select(col("s").as("a"), col("t").as("c"))

