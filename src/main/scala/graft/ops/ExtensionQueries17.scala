@@ -27,12 +27,20 @@ object ExtensionQueries17 {
   // decade), never by raw row count; the fact table collapses to the
   // day series before any pairing, exactly like ext_theilsen /
   // ext_mannkendall.
-  def extKendall(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
+  /** The pre-pair day collapse for ext_kendall — public so
+    * PlanQualitySpec can MEASURE that its row count equals the distinct
+    * calendar days (the semantic bound that justifies the O(days²)
+    * pair join in the cartesian allowlist).
+    */
+  def dailyClickPurchase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+
+  def extKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyClickPurchase(s, dir)
     val pairs = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
     val agg = pairs.agg(
       count(lit(1)).as("n0"),

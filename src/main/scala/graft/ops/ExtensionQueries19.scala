@@ -18,7 +18,12 @@ object ExtensionQueries19 {
   private def h60(c: org.apache.spark.sql.Column) =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
 
-  private def daily(s: SparkSession, dir: String): DataFrame =
+  /** The pre-pair day collapse shared by ext_theilsen/ext_mannkendall —
+    * public so PlanQualitySpec can MEASURE that its row count is
+    * bounded by the distinct calendar days (the semantic bound that
+    * justifies the O(days²) pair join in the cartesian allowlist).
+    */
+  def daily(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum(round(col("value") * 100).cast("long")).as("cents"))

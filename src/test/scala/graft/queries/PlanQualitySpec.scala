@@ -211,6 +211,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"unbounded nested-loop/cartesian stages in: ${offenders.mkString(", ")}")
   }
 
+  test("residual cartesian allowlist: every semantic bound is MEASURED, " +
+      "not trusted") {
+    // The umbrella gate's residual list claims each entry's unbounded-
+    // looking join has a semantic bound. Execute those bounds:
+    // the three day-pair queries collapse the fact table to ≤ one row
+    // per calendar day BEFORE pairing, so the pair join is O(days²) —
+    // here each collapse's row count is checked against the actual
+    // distinct-day count of the fixture, and the all-pairs oracle pin's
+    // input is checked to stay fixture-sized.
+    import org.apache.spark.sql.functions.{col, to_date}
+    val nDays = Tables.table(spark, sf001, "events")
+      .select(to_date(col("ts")).as("d")).distinct().count()
+    assert(nDays <= 366L, s"events span $nDays days — calendar blew up")
+    val kendallDays =
+      graft.ops.ExtensionQueries17.dailyClickPurchase(spark, sf001).count()
+    assert(kendallDays == nDays,
+      s"ext_kendall collapse $kendallDays rows != $nDays calendar days — " +
+        "the pre-pair aggregation is no longer day-keyed")
+    val purchaseDays = graft.ops.ExtensionQueries19.daily(spark, sf001).count()
+    assert(purchaseDays <= nDays,
+      s"ext_theilsen/ext_mannkendall collapse $purchaseDays rows > " +
+        s"$nDays calendar days")
+    // ext_sim_pairs_allpairs is DELIBERATELY all-pairs (the oracle twin
+    // of the blocked production path) — its executable bound is the
+    // input cardinality: the pin only ever runs on fixture-sized
+    // embedding sets, never on a corpus
+    val nEmb = Tables.table(spark, sf001, "embeddings").count()
+    assert(nEmb <= 10000L,
+      s"embeddings fixture grew to $nEmb rows — the all-pairs oracle " +
+        "pin would materialize n² pairs; re-derive the pin or shrink it")
+  }
+
   test("round-4 operators keep scale-safe join shapes") {
     // ext_phrase: k-term phrase = exactly k−1 keyed joins over pruned
     // postings — never a nested loop
