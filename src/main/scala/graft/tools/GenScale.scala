@@ -24,6 +24,44 @@ object GenScale {
   private def h(seed: String, c: org.apache.spark.sql.Column) =
     abs(xxhash64(lit(seed), c))
 
+  /** The documents table alone, as a DataFrame (no write) — reused by
+    * GloveScaleSpec to train on a 50k-doc corpus without materializing
+    * the full fixture set. Semantics identical to the `generate` output:
+    * 8–96 words from the 30-word vocab, word choice seeded per
+    * (doc, position). Duplication is PLANTED at a known linear rate so
+    * the dedup probes have a ground-truth answer: docs with
+    * id % 20 == 13 are EXACT copies of id-5, docs with id % 20 == 7 are
+    * NEAR copies of id-3 (one appended token); everything else is
+    * unique. Expected: exact-dup keepers = 19/20 of rows, near-dup
+    * candidates ~ rows/20 — both linear in corpus size.
+    */
+  def documentsDf(spark: SparkSession, nDocs: Long): DataFrame = {
+    val langs = array(Seq("en", "en", "en", "de", "es", "fr", "zh").map(lit): _*)
+    val vocab = array(Seq("spark", "sort", "column", "line", "part",
+      "batch", "scan", "hash", "query", "table", "order", "value",
+      "group", "fast", "slow", "small", "agg", "vector", "a", "g",
+      "join", "shuffle", "plan", "stage", "row", "page", "disk",
+      "cache", "merge", "limit").map(lit): _*)
+    def pick(arr: org.apache.spark.sql.Column, seed: String,
+        c: org.apache.spark.sql.Column) =
+      element_at(arr, (pmod(h(seed, c), size(arr).cast("long")) + 1).cast("int"))
+    val baseId = when(pmod(col("id"), lit(20)) === 7, col("id") - 3)
+      .when(pmod(col("id"), lit(20)) === 13, col("id") - 5)
+      .otherwise(col("id"))
+    val words = transform(
+      sequence(lit(1), (pmod(h("dl", baseId), lit(89)) + 8).cast("int")),
+      i => element_at(vocab,
+        (pmod(abs(xxhash64(lit("dw"), baseId, i)), size(vocab).cast("long")) + 1)
+          .cast("int")))
+    spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(concat_ws(" ", words),
+          when(pmod(col("id"), lit(20)) === 7, lit(" xdup")).otherwise(lit("")))
+          .as("text"),
+        pick(langs, "dlg", col("id")).as("lang"),
+        concat(lit("src"), pmod(h("dsv", col("id")), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def generate(spark: SparkSession, out: String, mult: Int): Unit = {
     val nCustomer = 15000L * mult
     val nOrders = 150000L * mult
@@ -133,28 +171,7 @@ object GenScale {
           .as("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    // documents: 8-96 words from the 30-word vocab, word choice seeded
-    // per (doc, position). Duplication is PLANTED at a known linear
-    // rate so the dedup probes have a ground-truth answer: docs with
-    // id % 20 == 13 are EXACT copies of id-5, docs with id % 20 == 7
-    // are NEAR copies of id-3 (one appended token); everything else is
-    // unique. Expected: exact-dup keepers = 19/20 of rows, near-dup
-    // candidates ~ rows/20 — both linear in corpus size.
-    val baseId = when(pmod(col("id"), lit(20)) === 7, col("id") - 3)
-      .when(pmod(col("id"), lit(20)) === 13, col("id") - 5)
-      .otherwise(col("id"))
-    val words = transform(
-      sequence(lit(1), (pmod(h("dl", baseId), lit(89)) + 8).cast("int")),
-      i => element_at(vocab,
-        (pmod(abs(xxhash64(lit("dw"), baseId, i)), size(vocab).cast("long")) + 1)
-          .cast("int")))
-    spark.range(nDocs).select(col("id").as("doc_id"),
-        concat(concat_ws(" ", words),
-          when(pmod(col("id"), lit(20)) === 7, lit(" xdup")).otherwise(lit("")))
-          .as("text"),
-        pick(langs, "dlg", col("id")).as("lang"),
-        concat(lit("src"), pmod(h("dsv", col("id")), lit(20))).as("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    documentsDf(spark, nDocs)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // embeddings: 64-dim, 10 labeled clusters (label-seeded center ± noise)
