@@ -174,15 +174,24 @@ object GenScale {
     documentsDf(spark, nDocs)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // embeddings: 64-dim, 10 labeled clusters (label-seeded center ± noise)
+    embeddingsDf(spark, nEmb)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** The embeddings table alone (no write): 64-dim, 10 LABELED
+    * clusters (label-seeded center ± per-vector noise) — unlike the
+    * driver fixtures' uniform unit vectors, these have real geometry
+    * (within-cluster distance ≈ 2, between ≈ 7), which is what the
+    * clustering/ANN quality specs need.
+    */
+  def embeddingsDf(spark: SparkSession, nEmb: Long): DataFrame = {
     val emb = transform(sequence(lit(0), lit(63)), i =>
       ((pmod(abs(xxhash64(lit("ec"), pmod(col("id"), lit(10)), i)), lit(2001L)) - 1000L)
         .cast("double") / 1000.0 +
         (pmod(abs(xxhash64(lit("en"), col("id"), i)), lit(601L)) - 300L)
           .cast("double") / 1000.0).cast("float"))
     spark.range(nEmb).select(col("id").as("vec_id"), emb.as("embedding"),
-        pmod(col("id"), lit(10)).cast("int").as("label"))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      pmod(col("id"), lit(10)).cast("int").as("label"))
   }
 
   def main(args: Array[String]): Unit = {
