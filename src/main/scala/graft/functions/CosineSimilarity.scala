@@ -181,6 +181,8 @@ object GraftFunctions {
       "simhash64", simhash64Builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", jaroWinklerBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "euclidean_sq", EuclideanSqDist.builder, "built-in")
   }
 }
 
@@ -202,6 +204,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.simhash64Info, GraftFunctions.simhash64Builder))
     ext.injectFunction((new FunctionIdentifier("jaro_winkler"),
       GraftFunctions.jaroWinklerInfo, GraftFunctions.jaroWinklerBuilder))
+    ext.injectFunction((new FunctionIdentifier("euclidean_sq"),
+      EuclideanSqDist.info, EuclideanSqDist.builder))
     // Bloom semi-join reduction pair (ops.BloomJoin) — injected here too
     // so SQL-text sessions get the same surface as the imperative path.
     ext.injectFunction((new FunctionIdentifier("graft_bloom_agg"),
