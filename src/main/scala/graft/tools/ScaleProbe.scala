@@ -22,6 +22,16 @@ object ScaleProbe {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Probe-family filter: SPARK_GRAFT_PROBES=dedup,graph,r8 runs only
+    * those families (all when unset) — re-measuring one family at a
+    * new mult shouldn't pay for the whole battery.
+    */
+  private val probeFamilies: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").map(_.trim).toSet)
+
+  private def family(name: String)(body: => Unit): Unit =
+    if (probeFamilies.forall(_.contains(name))) body
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,6 +45,7 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val nDocs = docs.count()
 
+    family("dedup") {
     // MinHash-LSH near-dup pairs over 3-gram SHINGLES (the production
     // discipline): the fixtures' 30-word vocabulary makes unigram token
     // sets nearly identical across docs (every doc is a true near-dup
@@ -54,10 +65,12 @@ object ScaleProbe {
       graft.ops.Dedup.exactAssignKeepers(docs).filter(!col("is_dup")).count()
     }
     println(s"SCALEPROBE exact_dedup rows=$nDocs out=$kept sec=$tEx")
+    }
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val nEmb = emb.count()
 
+    family("ivf") {
     // IVF: build the index (k-means quantizer + inverted lists), then
     // search 10 probes at nProbe=4 of 16 lists
     val ((built, searched), tIvf) = timed {
@@ -68,7 +81,9 @@ object ScaleProbe {
       (lists, hits)
     }
     println(s"SCALEPROBE ivf_build_search rows=$nEmb out=$searched lists=$built sec=$tIvf")
+    }
 
+    family("graph") {
     // ---- graph family (round-8 judge directive) ------------------------
     // The one expensive family whose 100× claim was narrated, not
     // measured. Cardinalities first: on the co-order part graph (the
@@ -119,6 +134,58 @@ object ScaleProbe {
         .filter(col("sz") > 1).count()
     }
     println(f"SCALEPROBE components_full rows=$nDocs out=$comps sec=$tC%.2f")
+    }
+
+    // ---- round-8 families ----------------------------------------------
+    family("dupspan") {
+    // dupspan: the substring-dedup inverted index — `out` = number of
+    // 5-grams shared by ≥2 docs (the index's hot partition volume;
+    // planted dup rate makes it linear in corpus size)
+    val (sharedGrams, tDs) = timed {
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+      toks.select(col("doc_id"),
+          explode(org.apache.spark.sql.functions.transform(
+            sequence(lit(1), size(col("tk")) - 4),
+            i => sha2(concat_ws(" ", slice(col("tk"), i, lit(5))), 256)))
+            .as("g"))
+        .groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).count()
+    }
+    println(f"SCALEPROBE dupspan_index rows=$nDocs out=$sharedGrams sec=$tDs%.2f")
+    }
+    family("dbscan") {
+
+    // DBSCAN on the CLUSTERED GenScale embeddings (where pivot banding
+    // actually prunes): `out` = symmetric eps-edge count — the banded
+    // candidate volume is the scale-killer quantity (within-cluster
+    // edges only → linear-in-n × cluster size)
+    val (dbE, tDbE) = timed {
+      graft.ops.Dbscan.epsEdges(emb, eps = 3.0).count()
+    }
+    val (dbC, tDbC) = timed {
+      graft.ops.Dbscan.label(emb, eps = 3.0, minPts = 4)
+        .filter(col("cluster") >= 0).select("cluster").distinct().count()
+    }
+    println(f"SCALEPROBE dbscan rows=$nEmb out=$dbE clusters=$dbC " +
+      f"sec=${tDbE + tDbC}%.2f")
+    }
+    family("pq") {
+
+    // PQ: train 4x16 codebooks, encode the corpus, ADC-search 10
+    // probes — `out` = code rows (m per vector)
+    val (pqCodes, tPq) = timed {
+      val cb = graft.ops.Pq.trainCodebooks(emb, m = 4, k = 16, subDim = 16,
+        iters = 2)
+      val codes = graft.ops.Pq.encode(emb, cb, 4, 16)
+      val n = codes.count()
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      graft.ops.Pq.adcTopK(probes, codes, cb, 4, 16, k = 5).count()
+      n
+    }
+    println(f"SCALEPROBE pq_build_search rows=$nEmb out=$pqCodes sec=$tPq%.2f")
+    }
 
     spark.stop()
   }
