@@ -56,7 +56,25 @@ object StreamSmoke {
     val ssPairs = spark.table("smoke_ssjoin").count()
     println(s"STREAM click-view pairs=$ssPairs")
 
-    assert(windows > 0 && users > 0 && twsUsers == users && ssPairs > 0)
+    // streaming content near-dup filter (ST-24)
+    val docsDir = Files.createDirectory(dir.resolve("docs"))
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      docsDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsSchema = spark.read.parquet(docsDir.toString)
+      .select("doc_id", "text").schema
+    val docStream = spark.readStream.schema(docsSchema)
+      .parquet(docsDir.toString)
+    val q5 = Streams.nearDupFilter(docStream.select("doc_id", "text"))
+      .toDF().writeStream.format("memory").queryName("smoke_neardup")
+      .outputMode("update").start()
+    q5.processAllAvailable(); q5.stop()
+    val keptDocs = spark.table("smoke_neardup")
+      .filter(org.apache.spark.sql.functions.col("kept")).count()
+    val totalDocs = spark.table("smoke_neardup").count()
+    println(s"STREAM neardup kept=$keptDocs of=$totalDocs")
+
+    assert(windows > 0 && users > 0 && twsUsers == users && ssPairs > 0 &&
+      keptDocs > 0 && keptDocs < totalDocs)
     spark.stop()
   }
 }

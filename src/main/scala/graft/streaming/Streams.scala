@@ -541,4 +541,77 @@ object Streams {
       fs.create(marker, true).close()
     }
   }
+
+  case class NearDupState(kept: Array[Long])
+  case class NearDupOut(doc_id: Long, simhash: Long, kept: Boolean)
+
+  /** ST-24: streaming content near-dup filter — ingestion-time dedup
+    * by SIMILARITY, not identity (the streaming face of the
+    * ext_simhash_neardup batch path; ST-5/ST-9 drop only exact key
+    * repeats). Each doc's 64-bit simhash (the native `simhash64`
+    * expression over its token array) is blocked on its 16-bit prefix
+    * segment; within a segment the state carries the
+    * KEPT (canonical) hashes, and an arrival is dropped iff some kept
+    * hash is within `maxHamming`. Single-band blocking by design —
+    * recall is probabilistic like any one LSH band; production fans
+    * out all 4 segment bands as parallel filters and ORs the drops
+    * (exactly the batch pigeonhole discipline), which multiplies
+    * state by 4, not the semantics.
+    *
+    * Ordering contract: rows sort (doc_id) within each micro-batch
+    * and state carries across batches, so stream ≡ the batch
+    * sequential fold for id-ordered arrival (the ST-18/20/23
+    * contract). State is one row per OCCUPIED segment holding its
+    * kept hashes — O(distinct content), the same asymptote as any
+    * dedup index, and 8 bytes per kept doc.
+    */
+  def nearDupFilter(docs: DataFrame, maxHamming: Int = 12): Dataset[NearDupOut] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    nearDupPrep(docs)
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[NearDupState, NearDupOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[NearDupState]) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          var kept = state.getOption.map(_.kept.toVector).getOrElse(Vector.empty[Long])
+          val out = sorted.map { case (id, sh, _) =>
+            val dup = kept.exists(k => java.lang.Long.bitCount(k ^ sh) <= maxHamming)
+            if (!dup) kept = kept :+ sh
+            NearDupOut(id, sh, !dup)
+          }
+          state.update(NearDupState(kept.toArray))
+          out.iterator
+      }
+  }
+
+  /** The batch formulation of the same fold — ST-24's replay anchor. */
+  def nearDupFilterBatch(docs: DataFrame, maxHamming: Int = 12): Dataset[NearDupOut] = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    nearDupPrep(docs)
+      .groupByKey(_._3)
+      .flatMapGroups { (_, rows) =>
+        val sorted = rows.toSeq.sortBy(_._1)
+        var kept = Vector.empty[Long]
+        sorted.map { case (id, sh, _) =>
+          val dup = kept.exists(k => java.lang.Long.bitCount(k ^ sh) <= maxHamming)
+          if (!dup) kept = kept :+ sh
+          NearDupOut(id, sh, !dup)
+        }.iterator
+      }
+  }
+
+  private def nearDupPrep(docs: DataFrame): Dataset[(Long, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        call_function("simhash64",
+          filter(split(col("text"), " "), t => t =!= "")).as("sh"))
+      .withColumn("seg", shiftrightunsigned(col("sh"), 48))
+      .as[(Long, Long, Long)]
+  }
 }

@@ -825,4 +825,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("ST-24 streaming near-dup filter replay equals the batch fold " +
+      "and drops planted dups") {
+    // id-ordered arrival (the ST-18/20/23 ordering contract): split
+    // the documents table at the median doc_id, pin file mtimes so
+    // the stream replays a -> b, and require (1) stream ≡ batch
+    // sequential fold, (2) the fixture's planted near-dups are
+    // actually dropped, (3) state = one row per occupied simhash
+    // segment.
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val tmp = Files.createTempDirectory("docs_neardup")
+    val cut = docs.select(expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    docs.filter(col("doc_id") <= cut).orderBy("doc_id")
+      .coalesce(1).write.parquet(s"$tmp/a")
+    docs.filter(col("doc_id") > cut).orderBy("doc_id")
+      .coalesce(1).write.parquet(s"$tmp/b")
+    for ((part, ms) <- Seq("a" -> 1000000000000L, "b" -> 1000000002000L)) {
+      Files.move(
+        Files.list(Paths.get(s"$tmp/$part"))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get(),
+        Paths.get(s"$tmp/$part.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$tmp/$part"))
+      Files.setLastModifiedTime(Paths.get(s"$tmp/$part.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(ms))
+    }
+    val schema = docs.schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val (got, stState) = replayWithState(
+      Streams.nearDupFilter(streamIn).toDF(), "update")
+    val batchIn = spark.read.parquet(s"$tmp/a.parquet", s"$tmp/b.parquet")
+    val expected = Streams.nearDupFilterBatch(batchIn).toDF()
+    assert(canon(got) == canon(expected))
+    val nDropped = expected.filter(!col("kept")).count()
+    assert(nDropped > 0L,
+      "fixture's planted near-dups were not dropped — blocking broke")
+    val nSegs = Streams.nearDupFilterBatch(batchIn)
+      .toDF().select("simhash")
+      .select(shiftrightunsigned(col("simhash"), 48)).distinct().count()
+    assert(stState == nSegs, s"state $stState != occupied segments $nSegs")
+  }
 }
