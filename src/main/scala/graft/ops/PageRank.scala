@@ -57,4 +57,79 @@ object PageRank {
     }
     pr
   }
+
+  /** Personalized PageRank: teleport mass goes ONLY to the seed set
+    * (restart vector r(n) = 1[n∈S]/|S|), so scores measure proximity
+    * to the seeds instead of global authority — the "related items
+    * for THIS portfolio" primitive. p₀ = r; p ← (1−d)·r + d·Σ p/deg.
+    * Same per-iteration shape (one contribution join + one sum
+    * shuffle) with the seed flag broadcast; |S| is driver-side small
+    * by definition.
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "ppr needs at least one iteration")
+    val k = seeds.select("id").distinct().count()
+    require(k >= 1, "ppr needs at least one seed")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .join(broadcast(seeds.select(col("id")).distinct()
+        .withColumn("graft_ppr_seed", lit(true))), Seq("id"), "left")
+      .select(col("id"),
+        when(col("graft_ppr_seed"), lit(1.0 / k)).otherwise(lit(0.0))
+          .as("graft_ppr_r"))
+      .localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("graft_pr_d"))
+    val contribs = edges.join(outdeg, "src")
+    var pr = nodes.withColumn("pr", col("graft_ppr_r"))
+    for (_ <- 1 to iterations) {
+      val inbound = contribs
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .groupBy("dst")
+        .agg(sum(col("pr") / col("graft_pr_d")).as("graft_pr_s"))
+      pr = nodes.join(inbound, nodes("id") === inbound("dst"), "left")
+        .select(col("id"), col("graft_ppr_r"),
+          (lit(1 - damping) * col("graft_ppr_r") +
+            lit(damping) * coalesce(col("graft_pr_s"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id"), col("pr"))
+  }
+
+  /** Katz centrality with α = 1/invAlpha, β = 1, in EXACT integer
+    * arithmetic: with z_k = invAlpha^k · x_k the recurrence
+    * x_{k+1} = 1 + α·Σ_in x_k becomes z_{k+1} = invAlpha^{k+1} + Σ z_k
+    * — pure long sums, order-independent, no float in the loop. The
+    * float form rounds ON the 1/invAlpha^k half-grid (the E-283
+    * round-half trap: α=0.05 puts every score exactly on a 1.25e-4
+    * grid, so a 4-digit display rounding flips between engines);
+    * returning the integer z alongside the terminating-decimal
+    * x = z/invAlpha^k makes the score grid-exact at any display
+    * precision. Counts attenuated walks — the centrality that still
+    * ranks nodes where raw degree ties.
+    */
+  def katz(edges: DataFrame, iterations: Int,
+      invAlpha: Long = 20L): DataFrame = {
+    require(iterations >= 1, "katz needs at least one iteration")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    var x = nodes.withColumn("z", lit(1L))
+    var scale = 1L
+    for (_ <- 1 to iterations) {
+      scale *= invAlpha
+      val inbound = edges
+        .join(x.select(col("id").as("src"), col("z")), "src")
+        .groupBy("dst")
+        .agg(sum(col("z")).as("graft_kz_s"))
+      x = nodes.join(inbound, nodes("id") === inbound("dst"), "left")
+        .select(col("id"),
+          (lit(scale) + coalesce(col("graft_kz_s"), lit(0L))).as("z"))
+        .localCheckpoint()
+    }
+    x.select(col("id"), col("z").as("katz_z"),
+      (col("z").cast("double") / scale).as("katz"))
+  }
 }
