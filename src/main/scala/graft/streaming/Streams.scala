@@ -509,6 +509,82 @@ object Streams {
       }
   }
 
+  case class AnomalyState(n: Long, sumCents: Long, sumSqCents: Long,
+    nFlagged: Long)
+  case class AnomalyOut(event_type: String, n_events: Long, n_flagged: Long)
+
+  /** ST-25: keyed streaming anomaly flagger — the live 3σ screen per
+    * event type. Each event is tested against the running moments of
+    * everything BEFORE it (prequential, so the outlier never pollutes
+    * the statistics that judge it): flag when n ≥ 5 and
+    * (x·n − S)² > 9·(n·Q − S²), the cross-multiplied form of
+    * |x − mean| > 3σ_pop — state is three exact integer-cent sums
+    * (n, S = Σx, Q = Σx²), O(key domain) rows, and the comparison
+    * runs in BigInt so no magnitude ever overflows (Q itself holds to
+    * ~3.7e9 rows/key at $500 values; beyond that, window-reset the
+    * state). Rows sort (ts, event_id) within each micro-batch and the
+    * state carries across batches — the ST-18/ST-20/ST-23 ordering
+    * contract, so stream and batch folds are bit-identical for
+    * identically-ordered input.
+    */
+  def anomalyByType(events: DataFrame): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, rows, state: GroupState[AnomalyState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L, 0L))
+          sorted.foreach { case (_, cents, _, _) =>
+            st = anomalyStep(st, cents)
+          }
+          state.update(st)
+          Iterator.single(AnomalyOut(tpe, st.n, st.nFlagged))
+      }
+  }
+
+  /** The batch formulation of the same prequential fold — ST-25's
+    * replay anchor.
+    */
+  def anomalyByTypeBatch(events: DataFrame): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+        var st = AnomalyState(0L, 0L, 0L, 0L)
+        sorted.foreach { case (_, cents, _, _) => st = anomalyStep(st, cents) }
+        AnomalyOut(tpe, st.n, st.nFlagged)
+      }
+  }
+
+  /** One prequential step: test x against the pre-x moments, then fold
+    * x in. BigInt keeps (x·n − S)² exact at any history length.
+    */
+  private def anomalyStep(st: AnomalyState, cents: Long): AnomalyState = {
+    val flagged =
+      if (st.n >= 5L) {
+        val n = BigInt(st.n); val s = BigInt(st.sumCents)
+        val q = BigInt(st.sumSqCents); val x = BigInt(cents)
+        val dev = x * n - s
+        dev * dev > BigInt(9) * (n * q - s * s)
+      } else false
+    AnomalyState(st.n + 1L, st.sumCents + cents,
+      st.sumSqCents + cents * cents,
+      st.nFlagged + (if (flagged) 1L else 0L))
+  }
+
   /** ST-19: idempotent foreachBatch parquet sink — the exactly-once
     * write discipline. Structured Streaming guarantees at-least-once
     * foreachBatch invocation: after a driver failure the LAST batch is

@@ -475,6 +475,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"ewma state $st23State != type count $nTypes")
   }
 
+  test("ST-25 keyed streaming anomaly flagger replay equals the batch fold") {
+    // Prequential fold ⇒ order-sensitive, same time-disjoint split +
+    // pinned-mtime discipline as ST-23; the (n, Σx, Σx², flagged)
+    // state must carry across the micro-batch boundary.
+    val tmp = Files.createTempDirectory("events_anom")
+    val all = batchEvents.orderBy("ts", "event_id")
+    val cut = all.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    all.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$tmp/a")
+    all.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$tmp/b")
+    Files.move(Files.list(Paths.get(s"$tmp/a")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/a.parquet"))
+    Files.move(Files.list(Paths.get(s"$tmp/b")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/b.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/a"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/b"))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    val schema = Streams.readEvents(spark, eventsDir).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val (gotRaw, st25State) = replayWithState(
+      Streams.anomalyByType(streamIn).toDF(), "update")
+    val got = gotRaw
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("n_events").desc)))
+      .filter(col("rk") === 1).drop("rk")
+    val batchIn = spark.read.parquet(s"$tmp/a.parquet", s"$tmp/b.parquet")
+    val expected = Streams.anomalyByTypeBatch(batchIn).toDF()
+    assert(canon(got) == canon(expected))
+    // the screen must actually fire on the fixture (37±/type at sf0.01)
+    val flagged = expected.agg(sum("n_flagged")).collect()(0).getLong(0)
+    assert(flagged > 0, "expected some anomaly flags on the fixture stream")
+    // one state row per event type — O(key domain) only
+    val nTypes = batchEvents.select("event_type").distinct().count()
+    assert(st25State == nTypes,
+      s"anomaly state $st25State != type count $nTypes")
+  }
+
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
     // The lakehouse MERGE pattern without a table format: each
     // micro-batch folds into a running latest-per-key state via
