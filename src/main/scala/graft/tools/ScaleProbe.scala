@@ -137,6 +137,30 @@ object ScaleProbe {
     }
 
     // ---- round-8 families ----------------------------------------------
+    family("graphr8") {
+    // The round-8 seeded/attenuated/weighted graph ops on the
+    // supplier–part bipartite graph (distinct supplier–part links,
+    // both directions). All six are FIXED-ROUND frontier algorithms
+    // (one keyed join + one fold per round), so cost should track the
+    // edge count m2; `out` records each query's coverage cardinality
+    // (reach counts / output rows) — linear edges + linear coverage +
+    // ~linear wall is the scale-safety signal.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val (m2, tE2) = timed {
+      li.select(col("l_suppkey"), col("l_partkey")).distinct().count() * 2
+    }
+    println(f"SCALEPROBE graphr8_edges rows=$m2 out=$m2 sec=$tE2%.2f")
+    for (q <- Seq("ext_ppr", "ext_katz", "ext_sssp", "ext_labelprop",
+        "ext_closeness", "ext_tempreach")) {
+      val (res, tQ) = timed { graft.SparkEntry.queries(q)(spark, dir).collect() }
+      val out = q match {
+        case "ext_closeness" | "ext_tempreach" =>
+          res.map(r => r.getLong(r.fieldIndex("reached"))).sum
+        case _ => res.length.toLong
+      }
+      println(f"SCALEPROBE $q rows=$m2 out=$out sec=$tQ%.2f")
+    }
+    }
     family("dupspan") {
     // dupspan: the substring-dedup inverted index — `out` = number of
     // 5-grams shared by ≥2 docs (the index's hot partition volume;

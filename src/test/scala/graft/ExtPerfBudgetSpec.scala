@@ -42,6 +42,12 @@ class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
     "ext_clustcoef" -> 11.0, // 1.5 s
     "ext_triangles" -> 11.0, // 1.4 s
     "ext_ngram_neardup" -> 11.0, // 1.4 s
+    "ext_closeness" -> 15.0, // 2.4 s (round 8; 10-seed labeled BFS ×4 rounds)
+    "ext_ppr" -> 13.5, // 2.1 s (round 8; 3 restart-vector iterations)
+    "ext_sssp" -> 12.0, // 1.8 s (round 8; 4 frontier-pruned min-plus rounds)
+    "ext_labelprop" -> 12.0, // 1.8 s (round 8; 3 vote/pick rounds)
+    "ext_katz" -> 11.5, // 1.7 s (round 8; 3 integer walk iterations)
+    "ext_tempreach" -> 11.5, // 1.6 s (round 8; 3 earliest-arrival rounds)
     "ext_journeydist" -> 9.5, // 1.1 s
     "ext_sparse_cos" -> 9.0, // 0.95 s
     "ext_simhash_neardup" -> 7.0, // 0.45 s
