@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the `events` table (SURVEY §2.10,
@@ -507,6 +507,99 @@ object Streams {
         }
         EwmaOut(tpe, n, e)
       }
+  }
+
+  case class TimedSessState(startMs: Long, lastMs: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+    n_events: Long)
+
+  /** ST-26: timer-finalized sessionization — the EVENT-TIME TIMER
+    * surface of `transformWithState` (ST-7b used state only). A
+    * session closes two ways: a successor event beyond the 30-min gap
+    * (closed inline, emitted immediately) or NO successor — then the
+    * event-time timer registered at lastTs + gap fires once the
+    * watermark passes it and `handleExpiredTimer` emits the session
+    * and CLEARS the state. That second path is the one state-only
+    * sessionizers can't do: without timers, a user who stops clicking
+    * holds state forever and the session never reaches the sink.
+    * Timers are re-armed per batch (delete the stale one first —
+    * leaked timers re-fire on cleared state). State is one triple per
+    * OPEN session; closed sessions leave both state and timer behind.
+    */
+  class TimerSessionProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long), ClosedSession] {
+    @transient private var state: ValueState[TimedSessState] = _
+    private val gapMs = 30L * 60 * 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TimedSessState](
+        "tsess", Encoders.product[TimedSessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var closed = Vector.empty[ClosedSession]
+      var st = if (state.exists()) state.get() else null
+      val prevTimer = if (st != null) st.lastMs + gapMs else -1L
+      sorted.foreach { case (_, tms, _) =>
+        if (st == null) st = TimedSessState(tms, tms, 1L)
+        else if (tms - st.lastMs > gapMs) {
+          closed :+= ClosedSession(key, st.startMs, st.lastMs, st.n)
+          st = TimedSessState(tms, tms, 1L)
+        } else st = TimedSessState(st.startMs, math.max(st.lastMs, tms),
+          st.n + 1L)
+      }
+      state.update(st)
+      if (prevTimer >= 0) getHandle.deleteTimer(prevTimer)
+      getHandle.registerTimer(st.lastMs + gapMs)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (state.exists()) {
+        val st = state.get()
+        if (expiredTimerInfo.getExpiryTimeInMs >= st.lastMs + gapMs) {
+          state.clear()
+          Iterator.single(ClosedSession(key, st.startMs, st.lastMs, st.n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer-finalized sessions (ST-26): append-mode closed-session
+    * stream under a 10-min watermark.
+    */
+  def timerSessions(events: DataFrame): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Batch gap-sessionization (gaps-and-islands) — ST-26's replay
+    * anchor: every (user, start, end, n) session in the data.
+    */
+  def gapSessionsBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_id"))
+      .withColumn("new_sess",
+        when(col("tms") - lag("tms", 1).over(w) > 30L * 60 * 1000 ||
+          lag("tms", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min("tms").as("start_ms"), max("tms").as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .drop("sess")
   }
 
   case class AnomalyState(n: Long, sumCents: Long, sumSqCents: Long,

@@ -519,6 +519,64 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"anomaly state $st25State != type count $nTypes")
   }
 
+  test("ST-26 timer-finalized sessions equal the batch sessionization modulo watermark") {
+    // Event-time timers: a session with NO successor event can only be
+    // emitted by handleExpiredTimer once the watermark passes
+    // lastTs + gap. Expected emission set, computed in batch: every
+    // session EXCEPT a user's final one, plus final sessions provably
+    // closed under the final watermark (end + 30 min ≤ max ts − 10 min).
+    val tmp = Files.createTempDirectory("events_tsess")
+    val all = batchEvents.orderBy("ts", "event_id")
+    val cut = all.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    all.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$tmp/a")
+    all.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$tmp/b")
+    Files.move(Files.list(Paths.get(s"$tmp/a")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/a.parquet"))
+    Files.move(Files.list(Paths.get(s"$tmp/b")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/b.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/a"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/b"))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    val schema = Streams.readEvents(spark, eventsDir).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    // timers need multiple state-store column families → RocksDB
+    // provider (HDFSBackedStateStoreProvider rejects them)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (got, st26State) =
+      try replayWithState(Streams.timerSessions(streamIn).toDF(), "append")
+      finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    val batchIn = spark.read.parquet(s"$tmp/a.parquet", s"$tmp/b.parquet")
+    val sessions = Streams.gapSessionsBatch(batchIn)
+    val wmFinal = batchIn.select(max(unix_millis(col("ts")))).collect()(0)
+      .getLong(0) - 10L * 60 * 1000
+    val lastW = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("end_ms").desc)
+    val expected = sessions
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(lastW))
+      .filter(col("rk") > 1 ||
+        col("end_ms") + 30L * 60 * 1000 <= wmFinal)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+    assert(canon(got) == canon(expected))
+    assert(got.count() > 0, "expected some closed sessions")
+    // state holds OPEN sessions only — at most one row per user
+    val nUsers = batchEvents.select("user_id").distinct().count()
+    assert(st26State <= nUsers,
+      s"timer-session state $st26State > user count $nUsers")
+  }
+
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
     // The lakehouse MERGE pattern without a table format: each
     // micro-batch folds into a running latest-per-key state via
