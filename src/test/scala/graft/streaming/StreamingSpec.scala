@@ -519,6 +519,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"anomaly state $st25State != type count $nTypes")
   }
 
+  test("ST-27 checkpoint recovery: a restarted stateful query is exactly-once end-to-end") {
+    // Fault tolerance, MEASURED: run a stateful windowed aggregation
+    // over file 1, STOP the query (simulated driver death), drop file
+    // 2 in, start a NEW query from the SAME checkpoint into the same
+    // parquet sink. Offsets AND window state must both recover: the
+    // final sink contents must equal the batch aggregate of file1 ∪
+    // file2 for windows the final watermark closed — no window lost
+    // (state recovered), none double-counted (offsets recovered).
+    val tmp = Files.createTempDirectory("events_ckpt")
+    val ckpt = s"$tmp/checkpoint"
+    val outDir = s"$tmp/out"
+    val inDir = s"$tmp/in"
+    Files.createDirectory(Paths.get(inDir))
+    val all = batchEvents.orderBy("ts", "event_id")
+    val cut = all.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    all.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$tmp/a")
+    Files.move(Files.list(Paths.get(s"$tmp/a")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$inDir/a.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/a"))
+    val schema = Streams.readEvents(spark, eventsDir).schema
+    def agg() = Streams.readEvents(spark, inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    def run(): Unit = {
+      val q = agg().writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run() // first life: file 1 only
+    all.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$tmp/b")
+    Files.move(Files.list(Paths.get(s"$tmp/b")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$inDir/b.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/b"))
+    run() // second life: recovered from the same checkpoint
+    val got = spark.read.schema(
+        "ws TIMESTAMP, event_type STRING, n BIGINT").parquet(outDir)
+    val wmFinal = batchEvents
+      .select(max(unix_millis(col("ts")))).collect()(0).getLong(0) -
+      10L * 60 * 1000
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .filter(unix_millis(col("ws")) + 3600000L <= wmFinal)
+    assert(canon(got) == canon(expected))
+    assert(got.count() > 0, "expected some finalized windows")
+  }
+
   test("ST-26 timer-finalized sessions equal the batch sessionization modulo watermark") {
     // Event-time timers: a session with NO successor event can only be
     // emitted by handleExpiredTimer once the watermark passes
