@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the `events` table (SURVEY §2.10,
@@ -600,6 +600,62 @@ object Streams {
       .agg(min("tms").as("start_ms"), max("tms").as("end_ms"),
         count(lit(1)).as("n_events"))
       .drop("sess")
+  }
+
+  case class ProfileOut(user_id: Long, n_events: Long, top_type: String,
+    top_n: Long, recent: String)
+
+  /** ST-28: live user profile via the composite-state surfaces of
+    * transformWithState — MapState (event-type → count, updated in
+    * place, never materialized as a whole map per event) and
+    * ListState (the last-3 event ids, trimmed with put()). ST-7b used
+    * ValueState, ST-26 timers; this completes the typed-state family.
+    * Emits the modal event type (count desc, type asc ties) and the
+    * recent-ids window per user — the live personalization record.
+    * State = one map entry per (user, type) + ≤3 list entries per
+    * user: O(key domain × type domain), never O(stream).
+    */
+  class ProfileProcessor
+      extends StatefulProcessor[Long, (Long, String, Long, Long), ProfileOut] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recent",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long, Long)],
+        timerValues: TimerValues): Iterator[ProfileOut] = {
+      val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+      sorted.foreach { case (_, tpe, _, eid) =>
+        val c = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+        counts.updateValue(tpe, c + 1L)
+        recent.appendValue(eid)
+      }
+      val keep = recent.get().toSeq.takeRight(3)
+      recent.put(keep.toArray)
+      val all = counts.iterator().toSeq
+      val (topType, topN) = all.minBy { case (t, n) => (-n, t) }
+      Iterator.single(ProfileOut(key, all.map(_._2).sum, topType, topN,
+        keep.mkString(",")))
+    }
+  }
+
+  /** Live user profiles (ST-28). */
+  def userProfiles(events: DataFrame): Dataset[ProfileOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class AnomalyState(n: Long, sumCents: Long, sumSqCents: Long,

@@ -631,6 +631,75 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"timer-session state $st26State > user count $nUsers")
   }
 
+  test("ST-28 MapState/ListState user profiles replay equals the batch profile") {
+    // Composite typed state: MapState counts per (user, type) updated
+    // in place, ListState trimmed to the last-3 ids. Same
+    // time-disjoint split + pinned mtimes as ST-23; state must carry.
+    val tmp = Files.createTempDirectory("events_prof")
+    val all = batchEvents.orderBy("ts", "event_id")
+    val cut = all.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    all.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$tmp/a")
+    all.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$tmp/b")
+    Files.move(Files.list(Paths.get(s"$tmp/a")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/a.parquet"))
+    Files.move(Files.list(Paths.get(s"$tmp/b")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/b.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/a"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/b"))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    val schema = Streams.readEvents(spark, eventsDir).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gotRaw =
+      try replay(Streams.userProfiles(streamIn).toDF(), "update")
+      finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    val got = gotRaw
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_events").desc)))
+      .filter(col("rk") === 1).drop("rk")
+    val batchIn = spark.read.parquet(s"$tmp/a.parquet", s"$tmp/b.parquet")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val uw = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val tops = batchIn.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        uw.orderBy(col("cnt").desc, col("event_type").asc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"),
+        col("cnt").as("top_n"))
+    val recents = batchIn
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        uw.orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rk") <= 3)
+      .groupBy("user_id")
+      // sort the kept (us, eid) structs ascending so the csv matches
+      // the stream's append order (collect_list alone is unordered)
+      .agg(concat_ws(",", transform(
+        sort_array(collect_list(struct(col("us"), col("event_id")))),
+        x => x.getField("event_id"))).as("recent"),
+        count(lit(1)).as("n_r"))
+    val expected = batchIn.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .join(tops, Seq("user_id")).join(recents.drop("n_r"), Seq("user_id"))
+      .select("user_id", "n_events", "top_type", "top_n", "recent")
+    assert(canon(got) == canon(expected))
+  }
+
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
     // The lakehouse MERGE pattern without a table format: each
     // micro-batch folds into a running latest-per-key state via
