@@ -5,12 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-8 extension queries, batch 113: time-series DIAGNOSTIC tests
-  * completing the E-275 (Durbin-Watson, lag-1) / E-102 (ACF,
-  * descriptive) family — a simplified Dickey-Fuller unit-root check
-  * (is the revenue series mean-reverting or a random walk?) and the
-  * Ljung-Box portmanteau (are lags 1..7 JOINTLY white noise?). Both
-  * follow the E-446 exactness split: every sufficient statistic is an
+/** Round-8 extension queries, batch 113: a simplified Dickey-Fuller
+  * unit-root check (is the revenue series mean-reverting or a random
+  * walk?) completing the E-275 (DW) / E-366 (Ljung-Box) diagnostic
+  * family. E-446 exactness split: every sufficient statistic is an
   * exact decimal(38,0) cross-multiplied sum; only the final test
   * statistic is a settled float computed by the IDENTICAL expression
   * on both engines.
@@ -62,49 +60,8 @@ object ExtensionQueries113 {
             ((col("em") - 2) * col("b"))), 4).as("t_stat4"))
   }
 
-  // ---- E-455 Ljung-Box portmanteau ---------------------------------------------------
-  // Joint white-noise test over lags 1..7: ρ_k from the exact
-  // cross-multiplied autocovariances n²C_k = Σ(n·y_t − S)(n·y_{t+k} − S)
-  // (decimal — no float fold), Q_k = n(n+2)·Σ_{j≤k} ρ_j²∕(n−j)
-  // accumulated in ascending-k order on a 7-row frame. Q_7 » χ²_7
-  // rejects white noise — the formal verdict on top of E-102's
-  // descriptive ACF and E-275's lag-1 DW.
-  def extLjungBox(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val d = daily(s, dir).localCheckpoint()
-    val glob = d.agg(count(lit(1)).cast(s38).as("nn"),
-      sum("y").cast(s38).as("sy")).limit(1)
-    val spine = (1 to 7).map(_.toLong).toDF("k").limit(8)
-    val lagged = d.select(col("x"), col("y").as("ya"))
-      .crossJoin(broadcast(spine))
-      .join(d.select(col("x").as("xb"), col("y").as("yb")),
-        col("xb") === col("x") + col("k"))
-    val covs = lagged.crossJoin(broadcast(glob))
-      .groupBy("k")
-      .agg(sum((expr(s"CAST(nn AS DECIMAL(38,0)) * ya") - col("sy")) *
-        (expr(s"CAST(nn AS DECIMAL(38,0)) * yb") - col("sy"))).as("n2ck"))
-    val c0 = d.crossJoin(broadcast(glob))
-      .agg(sum((expr(s"CAST(nn AS DECIMAL(38,0)) * y") - col("sy")) *
-        (expr(s"CAST(nn AS DECIMAL(38,0)) * y") - col("sy"))).as("n2c0"))
-      .limit(1)
-    val w = Window.orderBy("k")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    covs.crossJoin(broadcast(c0)).crossJoin(broadcast(glob))
-      .select(col("k"),
-        (col("n2ck").cast("double") / col("n2c0").cast("double")).as("rho"),
-        col("nn").cast("double").as("en"))
-      .withColumn("q",
-        sum(col("rho") * col("rho") / (col("en") - col("k"))).over(w) *
-          col("en") * (col("en") + 2))
-      .select(col("k"), round(col("rho"), 6).as("rho6"),
-        round(col("q"), 4).as("q4"))
-      .orderBy("k")
-  }
-
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ext_dickeyfuller" -> (extDickeyFuller _),
-    "ext_ljungbox" -> (extLjungBox _))
+    "ext_dickeyfuller" -> (extDickeyFuller _))
 
   private val dailySql =
     """daily as (select dy, y,
@@ -132,25 +89,5 @@ object ExtensionQueries113 {
         |    cast(m as double) em from st)
         |select n_obs, round(a / b, 8) slope8,
         |  round((a / b) / sqrt((c - a * a / b) / ((em - 2) * b)), 4) t_stat4
-        |from f""".stripMargin,
-
-    // E-455: identical exact autocovariances + ascending-k fold.
-    "ext_ljungbox" ->
-      s"""with $dailySql,
-        |g as (select cast(count(*) as hugeint) nn,
-        |    cast(sum(y) as hugeint) sy from daily),
-        |covs as (select k, cast(sum((g.nn * a.y - g.sy)
-        |      * (g.nn * b.y - g.sy)) as hugeint) n2ck
-        |  from daily a cross join unnest(generate_series(1, 7)) s(k)
-        |  join daily b on b.x = a.x + s.k cross join g
-        |  group by k),
-        |c0 as (select cast(sum((g.nn * y - g.sy) * (g.nn * y - g.sy))
-        |    as hugeint) n2c0 from daily, g),
-        |r as (select k, cast(n2ck as double) / cast(n2c0 as double) rho,
-        |    cast(nn as double) en from covs, c0, g)
-        |select k, round(rho, 6) rho6,
-        |  round(sum(rho * rho / (en - k)) over (order by k
-        |    rows between unbounded preceding and current row)
-        |    * en * (en + 2), 4) q4
-        |from r order by k""".stripMargin)
+        |from f""".stripMargin)
 }
