@@ -106,12 +106,12 @@ object ExtensionQueries115 {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ext_stump" -> (extStump _),
+    "ext_histsplit" -> (extStump _),
     "ext_ses_backtest" -> (extSesBacktest _))
 
   val oracleSql: Map[String, String] = Map(
     // E-458: same histogram, same exact-count Gini ratio.
-    "ext_stump" ->
+    "ext_histsplit" ->
       """with o as (select cast(round(o_totalprice * 100) as bigint) x,
         |    cast(o_orderpriority < '3' as bigint) pos from orders),
         |bounds as (select min(x) lo, max(x) hi from o),
