@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * sampling is this loop with a stopping rule). Both passes are
   * level-synchronous and fully relational:
   *
-  *  - forward: per level one frontier⋈edges join restricted to
-  *    shortest-path edges (level(v) = level(u)+1 from [[Bfs]]'s labeled
-  *    sweep), σ summed as exact decimal(38,0) path counts;
+  *  - forward: one fused level-synchronous sweep — per level a
+  *    frontier⋈edges join whose σ-sums are anti-joined against the
+  *    visited set, which simultaneously assigns BFS levels and
+  *    restricts σ to shortest-path edges (level(v) = level(u)+1), σ
+  *    summed as exact decimal(38,0) path counts;
   *  - backward: dependency δ(u) = Σ_v (σu/σv)·(1+δv) over the same
   *    edges reversed, one level at a time. Each term is quantized to
   *    1e-9 BEFORE the fold and δ kept decimal(38,9), so every sum is
@@ -42,20 +44,29 @@ object Betweenness {
     *         excluded (δ is defined over interior nodes, hops ≥ 1)
     */
   def truncated(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    val lev = Bfs.labeledHops(edges, sources, maxHops)
+    // the edge list is joined ~2·maxHops times — materialize it once
+    // instead of recomputing its upstream (scan + distinct) per round
+    val e = edges.localCheckpoint()
 
-    // forward: σ per level, only along shortest-path edges
+    // forward: one fused level-synchronous sweep computes levels AND σ —
+    // candidates = frontier⋈edges σ-sums, minus already-visited nodes
+    // (level-synchronous BFS reaches a node first at its min level, so
+    // the anti-join both assigns levels and restricts σ to shortest
+    // paths; a separate labeled-BFS pass would double the join count)
     val sigs = new scala.collection.mutable.ArrayBuffer[DataFrame]
     sigs += sources.select(col("seed"), col("id"),
       lit(1).cast(d380).as("sig")).localCheckpoint()
+    var visited = sigs(0).select(col("seed"), col("id")).localCheckpoint()
     for (k <- 1 to maxHops) {
-      val levelK = lev.filter(col("hops") === k).select(col("seed"), col("id"))
-      sigs += sigs(k - 1)
-        .join(edges, sigs(k - 1)("id") === edges("src"))
+      val next = sigs(k - 1)
+        .join(e, sigs(k - 1)("id") === e("src"))
         .select(col("seed"), col("dst").as("id"), col("sig"))
-        .join(levelK, Seq("seed", "id"))
         .groupBy("seed", "id")
         .agg(sum("sig").cast(d380).as("sig"))
+        .join(visited, Seq("seed", "id"), "left_anti")
+        .localCheckpoint()
+      sigs += next
+      visited = visited.unionAll(next.select(col("seed"), col("id")))
         .localCheckpoint()
     }
 
@@ -69,7 +80,7 @@ object Betweenness {
           col("sig").as("vsig"))
         .join(delta.select(col("seed").as("vseed"), col("id").as("vid"),
           col("delta").as("vdelta")), Seq("vseed", "vid"))
-      val e2 = edges.select(col("src").as("uid"), col("dst").as("wid"))
+      val e2 = e.select(col("src").as("uid"), col("dst").as("wid"))
       delta = sigs(k)
         .join(e2, sigs(k)("id") === col("uid"), "left")
         .join(vk, col("wid") === col("vid") && col("seed") === col("vseed"),

@@ -50,32 +50,32 @@ object ExtensionQueries116 {
   private def betweennessOracle(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """with pairs as (select distinct 'S' || l_suppkey sn, 'P' || l_partkey pn
+      """with pairs as materialized (select distinct 'S' || l_suppkey sn, 'P' || l_partkey pn
         |  from lineitem),
-        |edges as (select sn src, pn dst from pairs
+        |edges as materialized (select sn src, pn dst from pairs
         |          union all select pn, sn from pairs),
-        |h0 as (select 'S' || g id, 'S' || g seed, 0 hops
+        |h0 as materialized (select 'S' || g id, 'S' || g seed, 0 hops
         |  from generate_series(1, 10) t(g)),
         |""".stripMargin)
     for (k <- 1 to rounds) {
-      sb.append(s"h$k as (select seed, id, min(hops) hops from (")
+      sb.append(s"h$k as materialized (select seed, id, min(hops) hops from (")
       sb.append(s"select seed, id, hops from h${k - 1} union all ")
       sb.append(s"select f.seed, e.dst id, $k hops from ")
       sb.append(s"(select seed, id from h${k - 1} where hops = ${k - 1}) f ")
       sb.append(s"join edges e on e.src = f.id) t group by seed, id),\n")
     }
-    sb.append("s0 as (select seed, id, cast(1 as decimal(38,0)) sig from h0),\n")
+    sb.append("s0 as materialized (select seed, id, cast(1 as decimal(38,0)) sig from h0),\n")
     for (k <- 1 to rounds) {
-      sb.append(s"s$k as (select p.seed, e.dst id, ")
+      sb.append(s"s$k as materialized (select p.seed, e.dst id, ")
       sb.append(s"cast(sum(p.sig) as decimal(38,0)) sig ")
       sb.append(s"from s${k - 1} p join edges e on e.src = p.id ")
       sb.append(s"join h$rounds l on l.seed = p.seed and l.id = e.dst ")
       sb.append(s"and l.hops = $k group by 1, 2),\n")
     }
-    sb.append(s"d$rounds as (select seed, id, ")
+    sb.append(s"d$rounds as materialized (select seed, id, ")
     sb.append(s"cast(0 as decimal(38,9)) delta from s$rounds),\n")
     for (k <- (rounds - 1) to 1 by -1) {
-      sb.append(s"d$k as (select u.seed, u.id, cast(coalesce(sum(")
+      sb.append(s"d$k as materialized (select u.seed, u.id, cast(coalesce(sum(")
       sb.append("cast(round(cast(u.sig as double) / cast(v.sig as double) * ")
       sb.append("(1 + cast(dd.delta as double)), 9) as decimal(38,9))), ")
       sb.append(s"cast(0 as decimal(38,9))) as decimal(38,9)) delta ")

@@ -42,6 +42,10 @@ class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
     "ext_clustcoef" -> 11.0, // 1.5 s
     "ext_triangles" -> 11.0, // 1.4 s
     "ext_ngram_neardup" -> 11.0, // 1.4 s
+    "ext_betweenness" -> 32.0, // 6.7 s (round 8; fused forward-σ sweep
+    // + 3 backward-δ rounds over checkpointed edges — was 27.5 s before
+    // the edge-materialize + level/σ fusion)
+    "ext_elbow" -> 14.0, // 2.2 s (round 8; 3 Lloyd rounds × k = 2/3/4)
     "ext_closeness" -> 15.0, // 2.4 s (round 8; 10-seed labeled BFS ×4 rounds)
     "ext_ppr" -> 13.5, // 2.1 s (round 8; 3 restart-vector iterations)
     "ext_sssp" -> 12.0, // 1.8 s (round 8; 4 frontier-pruned min-plus rounds)
