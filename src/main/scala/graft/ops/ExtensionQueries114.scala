@@ -76,9 +76,13 @@ object ExtensionQueries114 {
     val nc = trainTok.groupBy("lang").agg(count(lit(1)).as("nc"))
     val vsize = trainTok.select("w").distinct()
       .agg(count(lit(1)).as("v"))
-    // smoothed log-likelihood for every (train-vocab token, class) cell
+    // smoothed log-likelihood for every (train-vocab token, class) cell;
+    // the class table is domain-capped (ordered limit, E-series
+    // discipline) so the cross join's small side is PROVABLY bounded —
+    // a blown class domain yields a deterministic prefix the gated
+    // oracle run catches as a hash mismatch
     val ll = trainTok.select("w").distinct()
-      .crossJoin(broadcast(nc))
+      .crossJoin(broadcast(nc.orderBy(col("lang").asc).limit(64)))
       .crossJoin(broadcast(vsize))
       .join(nwc, Seq("lang", "w"), "left")
       .select(col("w"), col("lang"),

@@ -151,7 +151,7 @@ object ScaleProbe {
     }
     println(f"SCALEPROBE graphr8_edges rows=$m2 out=$m2 sec=$tE2%.2f")
     for (q <- Seq("ext_ppr", "ext_katz", "ext_sssp", "ext_labelprop",
-        "ext_closeness", "ext_tempreach")) {
+        "ext_closeness", "ext_tempreach", "ext_betweenness")) {
       val (res, tQ) = timed { graft.SparkEntry.queries(q)(spark, dir).collect() }
       val out = q match {
         case "ext_closeness" | "ext_tempreach" =>
