@@ -839,4 +839,89 @@ object Streams {
       .withColumn("seg", shiftrightunsigned(col("sh"), 48))
       .as[(Long, Long, Long)]
   }
+
+  case class TrendOut(hour_ms: Long, rank: Int, event_type: String, cnt: Long)
+
+  /** ST-29: per-window trending top-k — the RANKED leaderboard per
+    * closed hour, which the windowed-count rows of ST-1 and the global
+    * sketch of ST-10 both stop short of (streaming can't put a rank
+    * window over an un-finalized aggregate). Key = epoch hour; state =
+    * a MapState (type → count) updated IN PLACE per event plus a 1-row
+    * armed flag; an EVENT-TIME TIMER at the hour's end emits the top-k
+    * (cnt desc, type asc — full deterministic tiebreak) exactly once
+    * when the watermark passes it, then CLEARS the hour's state. The
+    * count fold is order-independent, so no per-batch sort is needed
+    * (unlike the ST-18/20/23 sequential folds). State = (open hours) ×
+    * (type domain + 1) rows — never O(stream); requires the RocksDB
+    * provider (timers → multi column families).
+    */
+  class TrendingProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, String), TrendOut] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var armed: ValueState[Long] = _
+    private val hourMs = 3600L * 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("trend",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TrendOut] = {
+      rows.foreach { case (_, tpe) =>
+        val c = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+        counts.updateValue(tpe, c + 1L)
+      }
+      // the fire time is a pure function of the key, so arm it once
+      if (!armed.exists()) {
+        getHandle.registerTimer(key + hourMs)
+        armed.update(1L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TrendOut] = {
+      val top = counts.iterator().toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(k)
+      counts.clear()
+      armed.clear()
+      top.zipWithIndex.map { case ((t, c), i) =>
+        TrendOut(key, i + 1, t, c)
+      }.iterator
+    }
+  }
+
+  /** Windowed trending top-k (ST-29): append-mode finalized per-hour
+    * leaderboards under a 10-min watermark.
+    */
+  def trendingTypes(events: DataFrame, k: Int = 3): Dataset[TrendOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .select((unix_millis(col("ts")) - pmod(unix_millis(col("ts")),
+        lit(3600L * 1000))).as("hour_ms"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TrendingProcessor(k),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The batch formulation — ST-29's replay anchor: per-hour top-k by
+    * (count desc, type asc).
+    */
+  def trendingBatch(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select((unix_millis(col("ts")) - pmod(unix_millis(col("ts")),
+        lit(3600L * 1000))).as("hour_ms"), col("event_type"))
+      .groupBy("hour_ms", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("hour_ms")
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

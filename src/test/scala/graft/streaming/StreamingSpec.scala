@@ -700,6 +700,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(canon(got) == canon(expected))
   }
 
+  test("ST-29 windowed trending top-k: timer-finalized leaderboards equal " +
+      "the batch rank for watermark-closed hours") {
+    // Per-hour RANKED top-3 event types, emitted exactly once when the
+    // watermark passes the hour end — the leaderboard ST-1's raw
+    // window counts and ST-10's global sketch stop short of. Same
+    // time-disjoint two-file split + pinned mtimes as ST-26 so state
+    // and timers must carry across micro-batches.
+    val tmp = Files.createTempDirectory("events_trend")
+    val all = batchEvents.orderBy("ts", "event_id")
+    val cut = all.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    all.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$tmp/a")
+    all.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$tmp/b")
+    Files.move(Files.list(Paths.get(s"$tmp/a")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/a.parquet"))
+    Files.move(Files.list(Paths.get(s"$tmp/b")).filter(_.toString.endsWith(".parquet")).findFirst().get(),
+      Paths.get(s"$tmp/b.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/a"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/b"))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000002000L))
+    val schema = Streams.readEvents(spark, eventsDir).schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (got, st29State) =
+      try replayWithState(Streams.trendingTypes(streamIn).toDF(), "append")
+      finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    val batchIn = spark.read.parquet(s"$tmp/a.parquet", s"$tmp/b.parquet")
+    val wmFinal = batchIn.select(max(unix_millis(col("ts")))).collect()(0)
+      .getLong(0) - 10L * 60 * 1000
+    val expected = Streams.trendingBatch(batchIn)
+      .filter(col("hour_ms") + 3600L * 1000 <= wmFinal)
+    assert(canon(got) == canon(expected))
+    assert(got.count() > 0, "expected some closed leaderboards")
+    // state = open hours × (types + armed flag), never O(stream)
+    val nHours = batchIn
+      .select((unix_millis(col("ts")) - pmod(unix_millis(col("ts")),
+        lit(3600L * 1000))).as("h")).distinct().count()
+    val nTypes = batchIn.select("event_type").distinct().count()
+    assert(st29State <= nHours * (nTypes + 1),
+      s"trending state $st29State > ${nHours * (nTypes + 1)}")
+  }
+
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
     // The lakehouse MERGE pattern without a table format: each
     // micro-batch folds into a running latest-per-key state via
