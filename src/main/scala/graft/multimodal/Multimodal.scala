@@ -87,6 +87,44 @@ object Multimodal {
     }
   }
 
+  /** One resized record: same id/meta shape, payload downsampled to a
+    * fixed target size.
+    */
+  case class ResizedRecord(media_id: Long, meta: MediaMeta,
+      payload: Array[Byte], orig_bytes: Long)
+
+  /** The resize stage: downsample every payload to exactly `targetBytes`
+    * by strided byte sampling (index i reads byte i·len/target — the
+    * byte-domain analogue of nearest-neighbor image resizing; a real
+    * deployment swaps the kernel exactly like [[StubCodec]]). Metadata
+    * is rewritten to the target "dimensions" so downstream stages see a
+    * uniform shape — the normalization every multimodal training
+    * pipeline runs before batching tensors. Narrow, partition-
+    * preserving, deterministic per payload; payloads already at or
+    * below the target pass through zero-padded so the OUTPUT SHAPE is
+    * constant (the tensor-batching contract).
+    */
+  def resize(records: Dataset[MediaRecord], targetBytes: Int = 64)
+      : Dataset[ResizedRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val out = Array.tabulate(targetBytes) { i =>
+          if (n == 0) 0.toByte
+          else if (n >= targetBytes) r.payload((i.toLong * n / targetBytes).toInt)
+          else if (i < n) r.payload(i)
+          else 0.toByte
+        }
+        ResizedRecord(r.media_id,
+          r.meta.copy(width = math.min(r.meta.width, targetBytes),
+            height = math.min(r.meta.height, targetBytes)),
+          out, n.toLong)
+      }
+    }
+  }
+
   /** Build a synthetic media table from any table with an id + string
     * column (fixture `documents` in tests): payload = UTF-8 bytes,
     * metadata derived deterministically. Lets the whole pipeline run in

@@ -39,6 +39,39 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(nExchanges <= 1, s"extraction added a shuffle:\n$plan")
   }
 
+  test("resize stage: constant output shape, strided-sample kernel, narrow, " +
+      "deterministic") {
+    val out = Multimodal.resize(media, targetBytes = 64)
+    val rows = out.collect().sortBy(_.media_id)
+    assert(rows.length == media.count())
+    // tensor-batching contract: EVERY payload is exactly targetBytes
+    assert(rows.forall(_.payload.length == 64))
+    // kernel spot-check: for a payload longer than the target, byte i
+    // must equal source byte i*len/target (nearest-neighbor stride)
+    val big = media.collect().filter(_.payload.length >= 64)
+      .minBy(_.media_id)
+    val resizedBig = rows.find(_.media_id == big.media_id).get
+    assert((0 until 64).forall { i =>
+      resizedBig.payload(i) ==
+        big.payload((i.toLong * big.payload.length / 64).toInt)
+    })
+    // short payloads pass through zero-padded
+    media.collect().filter(_.payload.length < 64).take(1).foreach { small =>
+      val r = rows.find(_.media_id == small.media_id).get
+      assert(r.payload.take(small.payload.length).toSeq == small.payload.toSeq)
+      assert(r.payload.drop(small.payload.length).forall(_ == 0))
+    }
+    // metadata rewritten to the normalized shape; original size kept
+    assert(rows.forall(r => r.meta.width <= 64 && r.meta.height <= 64))
+    // narrow: partition count preserved
+    assert(Multimodal.resize(media.repartition(5)).rdd.getNumPartitions == 5)
+    // deterministic
+    val again = Multimodal.resize(media, targetBytes = 64).collect()
+      .sortBy(_.media_id)
+    assert(rows.zip(again).forall { case (x, y) =>
+      x.payload.toSeq == y.payload.toSeq })
+  }
+
   test("extracted features join back relationally") {
     val feats = Multimodal.extractFeatures(media).toDF()
     val byModality = feats.groupBy("modality").agg(
