@@ -74,8 +74,11 @@ object ExtensionQueries119 {
       .select(
         col("m_f").cast("long").as("n_days"),
         col("m_a").cast("long").as("n_pre"),
-        round(expr(ssrExpr("f")), 4).as("ssr_full4"),
-        round(expr(ssrExpr("a")) + expr(ssrExpr("b")), 4).as("ssr_split4"),
+        // SSRs reported in 1e12 cents² units: round(x, s) on a double
+        // whose magnitude overflows llround(x·10^s) diverges by 1 ulp
+        // between engines (measured at sf0.1) — scale BEFORE rounding
+        round(expr(ssrExpr("f")) / 1e12, 4).as("ssr_full_e12"),
+        round((expr(ssrExpr("a")) + expr(ssrExpr("b"))) / 1e12, 4).as("ssr_split_e12"),
         round(
           ((expr(ssrExpr("f")) - expr(ssrExpr("a")) - expr(ssrExpr("b"))) / lit(2.0)) /
             ((expr(ssrExpr("a")) + expr(ssrExpr("b"))) /
@@ -158,8 +161,8 @@ object ExtensionQueries119 {
         |ma as (${momentsSql("seg1", "a")}),
         |mb as (${momentsSql("seg2", "b")})
         |select cast(m_f as bigint) n_days, cast(m_a as bigint) n_pre,
-        |  round(${ssrExpr("f")}, 4) ssr_full4,
-        |  round(${ssrExpr("a")} + ${ssrExpr("b")}, 4) ssr_split4,
+        |  round((${ssrExpr("f")}) / 1e12, 4) ssr_full_e12,
+        |  round((${ssrExpr("a")} + ${ssrExpr("b")}) / 1e12, 4) ssr_split_e12,
         |  round(((${ssrExpr("f")} - ${ssrExpr("a")} - ${ssrExpr("b")}) / 2.0) /
         |    ((${ssrExpr("a")} + ${ssrExpr("b")}) / (cast(m_f as double) - 4)), 4)
         |    f_stat4
