@@ -42,6 +42,14 @@ class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
     "ext_clustcoef" -> 11.0, // 1.5 s
     "ext_triangles" -> 11.0, // 1.4 s
     "ext_ngram_neardup" -> 11.0, // 1.4 s
+    "ext_apriori3" -> 16.0, // 2.8 s (round 8; level-wise L2→C3→L3 chain,
+    // budget guards the shared-prefix candidate join staying |L2|-bounded)
+    "ext_minhash_error" -> 15.0, // 2.4 s (round 8 re-rank; the Ĵ−J error
+    // audit's all-pairs oracle slice over the doc sample)
+    "ext_matching" -> 9.0, // 0.84 s (round 8 re-rank; greedy maximal
+    // matching rounds)
+    "ext_bootstrap" -> 9.0, // 1.0 s (round 8 re-rank; 200 deterministic
+    // hash-resamples in one exploded aggregate)
     "ext_betweenness" -> 32.0, // 6.7 s (round 8; fused forward-σ sweep
     // + 3 backward-δ rounds over checkpointed edges — was 27.5 s before
     // the edge-materialize + level/σ fusion)
