@@ -167,22 +167,25 @@ object GraftFunctions {
   val jaroWinklerInfo: ExpressionInfo = new ExpressionInfo(
     classOf[JaroWinkler].getCanonicalName, "jaro_winkler")
 
-  /** Imperative registration on an existing session. */
+  /** Imperative registration on an existing session. Idempotent AND
+    * silent: queries call this defensively (any entry point must work on
+    * a caller-provided session), so an already-registered name is simply
+    * skipped — re-registering via createOrReplaceTempFunction would emit
+    * a `SimpleFunctionRegistry ... replaced` WARN per call site and bury
+    * real registry warnings in log noise.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", cosineSimBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_code", hyperplaneCodeBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", minhashSignatureBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_long_jaccard", sortedLongJaccardBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", simhash64Builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler", jaroWinklerBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "euclidean_sq", EuclideanSqDist.builder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def once(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(new FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    once("cosine_sim", cosineSimBuilder)
+    once("hyperplane_code", hyperplaneCodeBuilder)
+    once("minhash_signature", minhashSignatureBuilder)
+    once("sorted_long_jaccard", sortedLongJaccardBuilder)
+    once("simhash64", simhash64Builder)
+    once("jaro_winkler", jaroWinklerBuilder)
+    once("euclidean_sq", EuclideanSqDist.builder)
   }
 }
 

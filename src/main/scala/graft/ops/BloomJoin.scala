@@ -47,11 +47,17 @@ object BloomJoin {
     BloomFilterMightContain(children.head, new XxHash64(Seq(children(1))))
   }
 
+  /** Idempotent-and-silent like [[graft.functions.GraftFunctions.register]]:
+    * skip names already present instead of replace-with-WARN.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg", bloomAggBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain", mightContainBuilder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def once(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          new org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    once("graft_bloom_agg", bloomAggBuilder)
+    once("graft_might_contain", mightContainBuilder)
   }
 
   /** Builds a Bloom filter over `dim(dimKey)` and returns `fact` reduced

@@ -149,7 +149,8 @@ object ExtensionQueries114 {
         |test as (select * from docs where doc_id % 2 = 1),
         |traintok as (select lang, unnest(toks) w from train),
         |nwc as (select lang, w, count(*) nwc from traintok group by 1, 2),
-        |nc as (select lang, count(*) nc from traintok group by 1),
+        |nc as (select lang, count(*) nc from traintok group by 1
+        |  order by lang limit 64),
         |vsize as (select count(distinct w) v from traintok),
         |ll as (select vv.w, nc.lang,
         |    cast(round(ln(cast(coalesce(nwc.nwc, 0) + 1 as double) /

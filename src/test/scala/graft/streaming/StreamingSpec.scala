@@ -741,8 +741,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val batchIn = spark.read.parquet(s"$tmp/a.parquet", s"$tmp/b.parquet")
     val wmFinal = batchIn.select(max(unix_millis(col("ts")))).collect()(0)
       .getLong(0) - 10L * 60 * 1000
+    // strict <: Spark expires event-time timers only when timer <
+    // watermark, so an hour whose close lands EXACTLY on the final
+    // watermark is still open in the stream — the batch anchor must
+    // exclude it too or the comparison flakes on boundary-aligned data
     val expected = Streams.trendingBatch(batchIn)
-      .filter(col("hour_ms") + 3600L * 1000 <= wmFinal)
+      .filter(col("hour_ms") + 3600L * 1000 < wmFinal)
     assert(canon(got) == canon(expected))
     assert(got.count() > 0, "expected some closed leaderboards")
     // state = open hours × (types + armed flag), never O(stream)
