@@ -30,14 +30,16 @@ import org.apache.spark.storage.StorageLevel
   * at the truncation depth get δ = 0 (their deeper subtrees are cut —
   * documented estimator bias, standard for truncated betweenness).
   *
-  * Memory discipline (the single-container / small-executor case): all
-  * intermediates persist at MEMORY_AND_DISK so level tables spill
-  * instead of OOM-ing, `visited` is a LAZY union over the persisted σ
-  * levels (no per-round materialized copy of the growing set), and the
-  * backward pass unpersists each σ/δ level the moment its last
-  * consumer has run while folding δ into a running per-id aggregate.
-  * Resident state is therefore edges + two σ levels + two δ levels +
-  * the fold — O(reach), never O(maxHops · reach).
+  * Memory discipline: every level localCheckpoints at MEMORY_AND_DISK
+  * (lineage truncation keeps per-round Catalyst work constant — a
+  * persist-only variant re-optimizes the growing plan tree and measured
+  * 7× slower at sf0.1), and `visited` is a LAZY union over the
+  * already-pinned σ levels rather than a per-round materialized copy of
+  * the growing set. Because BFS levels are DISJOINT per seed, resident
+  * state is edges + Σ|σ levels| + Σ|δ levels| = O(reach) — the
+  * per-round cumulative visited copies were the O(maxHops · reach) term
+  * that OOM'd an 8 GiB single-JVM run at 36M edges (round-8 baseline);
+  * without them the same sweep fits the default heap.
   */
 object Betweenness {
 
@@ -62,11 +64,11 @@ object Betweenness {
       return sources.select(col("id"), lit(0).cast(d389).as("btw"))
         .filter(lit(false))
 
-    val level = StorageLevel.MEMORY_AND_DISK
-    def pin(df: DataFrame): DataFrame = { val p = df.persist(level); p.count(); p }
+    def pin(df: DataFrame): DataFrame =
+      df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
 
     // the edge list is joined ~2·maxHops times — materialize it once
-    // (spillable) instead of recomputing its upstream per round
+    // instead of recomputing its upstream (scan + distinct) per round
     val e = pin(edges)
 
     // forward: one fused level-synchronous sweep computes levels AND σ —
@@ -74,9 +76,8 @@ object Betweenness {
     // (level-synchronous BFS reaches a node first at its min level, so
     // the anti-join both assigns levels and restricts σ to shortest
     // paths; a separate labeled-BFS pass would double the join count).
-    // `visited` is never materialized: it is the union VIEW over the
-    // already-pinned σ levels, so the anti-join scans cached blocks
-    // instead of persisting a fresh cumulative copy per round.
+    // `visited` is never re-materialized: the anti-join scans the
+    // already-pinned σ levels, so no cumulative copy stacks up.
     val sigs = new scala.collection.mutable.ArrayBuffer[DataFrame]
     sigs += pin(sources.select(col("seed"), col("id"),
       lit(1).cast(d380).as("sig")))
@@ -92,11 +93,10 @@ object Betweenness {
     }
 
     // backward: δ per level, deepest first; truncation level gets 0.
-    // After computing level k's δ, level k+1's σ and δ have no further
-    // consumer — unpersist both; δ(k) folds into a running per-id sum
-    // so the union of ALL level deltas is never resident at once.
-    var delta = pin(sigs(maxHops).select(col("seed"), col("id"),
-      lit(0).cast(d389).as("delta")))
+    // Levels are disjoint, so the lazy union consumed by the single
+    // final aggregate holds O(reach) rows total.
+    var delta = sigs(maxHops).select(col("seed"), col("id"),
+      lit(0).cast(d389).as("delta"))
     var acc: DataFrame = null
     for (k <- (maxHops - 1) to 1 by -1) {
       val vk = sigs(k + 1)
@@ -105,7 +105,7 @@ object Betweenness {
         .join(delta.select(col("seed").as("vseed"), col("id").as("vid"),
           col("delta").as("vdelta")), Seq("vseed", "vid"))
       val e2 = e.select(col("src").as("uid"), col("dst").as("wid"))
-      val deltaK = pin(sigs(k)
+      delta = pin(sigs(k)
         .join(e2, sigs(k)("id") === col("uid"), "left")
         .join(vk, col("wid") === col("vid") && col("seed") === col("vseed"),
           "left")
@@ -114,22 +114,9 @@ object Betweenness {
           expr(s"""cast(round(cast(sig as double) / cast(vsig as double) *
                    (1 + cast(vdelta as double)), 9) as $d389)""")),
           lit(0).cast(d389)).as("delta")))
-      sigs(k + 1).unpersist(blocking = false)
-      delta.unpersist(blocking = false)
-      delta = deltaK
-      val folded = pin((if (acc == null) delta.select(col("id"), col("delta"))
-        else acc.unionAll(delta.select(col("id"), col("delta"))))
-        .groupBy("id").agg(sum("delta").cast(d389).as("delta")))
-      if (acc != null) acc.unpersist(blocking = false)
-      acc = folded
+      acc = if (acc == null) delta else acc.unionAll(delta)
     }
 
-    // detach the (small, O(reached-nodes)) result from the cache so every
-    // internal level can be dropped — localCheckpoint blocks are
-    // GC-cleaned, persisted plans are not
-    val out = acc.select(col("id"), col("delta").cast(d389).as("btw"))
-      .localCheckpoint()
-    (Seq(e, sigs(0), sigs(1), delta, acc)).foreach(_.unpersist(blocking = false))
-    out
+    acc.groupBy("id").agg(sum("delta").cast(d389).as("btw"))
   }
 }

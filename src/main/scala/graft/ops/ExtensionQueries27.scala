@@ -110,9 +110,13 @@ object ExtensionQueries27 {
   // decomposition (the community-core peel: the k-truss keeps edges
   // with support ≥ k−2). Each oriented triangle credits its three
   // edges; zero-support edges surface via the left join. Reported as
-  // the support histogram — the curve a planner peels against.
+  // the support histogram — the curve a planner peels against. Runs
+  // the wedge-BOUNDED form (shuffle-hash joins so the W-row wedge
+  // stream is never sorted, hash-sliced when W outgrows one pass) —
+  // same rows bit-for-bit, no spill cliff at sf3 (see
+  // [[Triangles.edgeSupportBounded]]).
   def extTrussup(s: SparkSession, dir: String): DataFrame =
-    Triangles.edgeSupport(coOrderEdges(s, dir))
+    Triangles.edgeSupportBounded(coOrderEdges(s, dir))
       .groupBy("support").agg(count(lit(1)).as("n_edges"))
       .orderBy("support")
 

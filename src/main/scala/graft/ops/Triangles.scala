@@ -77,15 +77,92 @@ object Triangles {
     * @param edges undirected edge list as (u, v) with u < v, distinct.
     * @return (u, v, support) for EVERY input edge.
     */
+  /** The 3-per-triangle edge credits as one explode — NOT a 3-branch
+    * union of selects over the triangle list: DataFrame unions don't
+    * reuse common subplans, so the union form physically re-runs the
+    * W-row wedge join once per branch (measured 3.3× the census cost at
+    * sf3). One explode = one triangle enumeration.
+    */
+  private def creditEdges(tri: DataFrame): DataFrame =
+    tri.select(explode(array(
+      struct(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")),
+      struct(least(col("b"), col("c")).as("u"),
+        greatest(col("b"), col("c")).as("v")),
+      struct(least(col("a"), col("c")).as("u"),
+        greatest(col("a"), col("c")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
   def edgeSupport(edges: DataFrame): DataFrame = {
-    val tri = triangleList(edges)
-    val tedges = tri.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(tri.select(col("b").as("x"), col("c").as("y")))
-      .unionAll(tri.select(col("a").as("x"), col("c").as("y")))
-      .select(least(col("x"), col("y")).as("u"),
-        greatest(col("x"), col("y")).as("v"))
+    val tedges = creditEdges(triangleList(edges))
       .groupBy("u", "v").agg(count(lit(1)).as("sup"))
     edges.join(tedges, Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
+  /** [[edgeSupport]] with the wedge volume BOUNDED — same rows, same
+    * values, engineered for the measured mult=30 cliff where the W-row
+    * wedge stream (W ≈ 26·m on the co-order graph) outgrows one box.
+    * Two disciplines compose:
+    *
+    *  1. '''Never sort the wedges.''' Both triangle joins carry a
+    *     `shuffle_hash` hint on the edge side: the W-row wedge stream is
+    *     probe-side only — it is written to shuffle files and streamed
+    *     back exactly once, while the hash maps are built from the m-row
+    *     edge list (m/partitions rows per map). The default sort-merge
+    *     plan instead externally SORTS all W rows on (a,c); at 704M
+    *     wedges that sort is a multi-pass disk merge — the 4.9×-for-3×
+    *     segment in the round-8 baseline.
+    *  2. '''Slice the wedge shuffle.''' When the oriented wedge count
+    *     W = Σ_s d_out(d_out−1)/2 (computed exactly from one degree
+    *     aggregate over the persisted oriented edges) exceeds
+    *     `targetWedges`, the wedge-source nodes are hash-split into
+    *     ⌈W/target⌉ slices processed EAGERLY one at a time, each
+    *     pre-combined to per-edge partial supports (≤ m rows) before the
+    *     next slice starts — live shuffle footprint is W/slices rows, so
+    *     the operator degrades to more passes, never to thrash. Slicing
+    *     by wedge-source `a` partitions the triangle list exactly (every
+    *     oriented triangle has ONE source), so partial sums add up to
+    *     [[edgeSupport]] bit-for-bit.
+    *
+    * On a cluster the same knob is wedges-per-executor; the default
+    * (256M) keeps a 32-thread / 8 GiB box single-pass up to ~sf1 and
+    * 3-pass at sf3.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    */
+  def edgeSupportBounded(edges: DataFrame,
+      targetWedges: Long = 256000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // exact wedge count from the oriented out-degrees — d(d−1) is even,
+    // so summing before the halving keeps everything in long arithmetic
+    val w = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"))
+      .head().getLong(0) / 2
+    val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    val parts = (0 until slices).map { i =>
+      val e1 = (if (slices == 1) oriented
+        else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+        .select(col("s").as("a"), col("t").as("b"))
+      val tri = e1.join(e2.hint("shuffle_hash"), "b")
+        .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+      val p = creditEdges(tri)
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize NOW — one slice's wedge shuffle live at a time
+      p
+    }
+    val sup = parts.reduce(_ unionAll _)
+      .groupBy("u", "v").agg(sum("sup").as("sup"))
+    // the per-edge join output is O(m) — detach it from the cache so the
+    // slice partials and the oriented edges can be dropped immediately
+    val out = edges.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+      .localCheckpoint()
+    (oriented +: parts).foreach(_.unpersist(blocking = false))
+    out
   }
 }

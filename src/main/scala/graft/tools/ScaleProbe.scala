@@ -161,6 +161,20 @@ object ScaleProbe {
       println(f"SCALEPROBE $q rows=$m2 out=$out sec=$tQ%.2f")
     }
     }
+    family("btw") {
+    // targeted re-measure of the round-9 memory-bounded Brandes sweep
+    // (directive: mult=30 must run under the DEFAULT 8 GiB driver heap)
+    val (res, tQ) = timed { graft.SparkEntry.queries("ext_betweenness")(spark, dir).collect() }
+    println(f"SCALEPROBE ext_betweenness rows=$nDocs out=${res.length} sec=$tQ%.2f " +
+      s"heap=${Runtime.getRuntime.maxMemory() / (1024 * 1024)}m")
+    }
+    family("truss") {
+    // targeted re-measure of the round-9 ext_trussup mitigation (wedge-
+    // bounded shuffle-hash plan) without paying for the whole graph
+    // battery; `out` = histogram rows (scale-stable support domain)
+    val (res, tQ) = timed { graft.SparkEntry.queries("ext_trussup")(spark, dir).collect() }
+    println(f"SCALEPROBE ext_trussup rows=$nDocs out=${res.length} sec=$tQ%.2f")
+    }
     family("dupspan") {
     // dupspan: the substring-dedup inverted index — `out` = number of
     // 5-grams shared by ≥2 docs (the index's hot partition volume;
