@@ -208,6 +208,59 @@ object ScaleProbe {
     println(f"SCALEPROBE dbscan rows=$nEmb out=$dbE clusters=$dbC " +
       f"sec=${tDbE + tDbC}%.2f")
     }
+    family("dbscan_coreset") {
+
+    // The coreset-first DBSCAN discipline MEASURED (round-9 directive):
+    // the production path for density clustering at 100 TB is never the
+    // full n²/cluster eps-graph — it is (1) a deterministic 1/20
+    // hash-sample coreset, (2) exact DBSCAN on the coreset (same
+    // banded join, 1/400th the pair volume), (3) per-cluster centroid,
+    // (4) broadcast nearest-centroid assign-back over the FULL corpus
+    // (one linear scan). GenScale plants 10 labeled clusters, so
+    // recovery is CHECKABLE: `out` = clusters recovered from the
+    // coreset, acc = full-corpus assignment agreement with the planted
+    // label (per-cluster majority), both printed next to wall-clock.
+    val ((nClusters, acc), tCs) = timed {
+      val coreset = emb.filter(
+        pmod(abs(xxhash64(lit("coreset"), col("vec_id"))), lit(20)) === 0)
+      val labeled = graft.ops.Dbscan.label(coreset, eps = 3.0, minPts = 4)
+        .filter(col("cluster") >= 0)
+      // centroids: ≤ clusters×64 rows by construction — driver-side on
+      // purpose (the broadcast table the assign-back scan probes)
+      val centRows = labeled.join(emb, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("cx"))
+        .collect()
+      val cents = centRows.groupBy(_.getLong(0)).map { case (c, rows) =>
+        (c, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq
+      val centsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.map(c =>
+          org.apache.spark.sql.Row(c._1, c._2)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cemb",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      val assigned = emb
+        .select(col("vec_id"), col("label"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => x.cast("double")).as("demb"))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("d2", call_function("euclidean_sq", col("demb"), col("cemb")))
+        .groupBy("vec_id", "label")
+        .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"))
+      val byClusterLabel = assigned.groupBy("cluster", "label")
+        .agg(count(lit(1)).as("n")).collect()
+      val majority = byClusterLabel.groupBy(_.getLong(0)).values
+        .map(_.map(_.getLong(2)).max).sum
+      (cents.size, majority.toDouble / nEmb)
+    }
+    println(f"SCALEPROBE dbscan_coreset rows=$nEmb out=$nClusters " +
+      f"acc=$acc%.4f sec=$tCs%.2f")
+    }
     family("pq") {
 
     // PQ: train 4x16 codebooks, encode the corpus, ADC-search 10
