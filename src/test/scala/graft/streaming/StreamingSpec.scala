@@ -758,6 +758,79 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"trending state $st29State > ${nHours * (nTypes + 1)}")
   }
 
+  test("ST-30 transformWithState kill-and-restart: timers + MapState recover " +
+      "from the RocksDB checkpoint") {
+    // The ST-27 driver-death pattern applied to the transformWithState
+    // surface — the operators with the MOST state machinery (event-time
+    // timers + MapState + armed ValueState) had replay and state pins
+    // but no restart gate. Life 1 processes the first half of the
+    // events and STOPS (armed timers + in-flight per-hour counts live
+    // only in the RocksDB checkpoint); life 2 starts a NEW query from
+    // the SAME checkpoint over the second half. Hours straddling the
+    // restart are correct ONLY if (a) the MapState counts recovered,
+    // (b) the armed timers recovered and fire when the new watermark
+    // passes them, and (c) file-source offsets recovered (no double
+    // count) — the final sink must equal the batch leaderboard of
+    // file1 ∪ file2 for watermark-closed hours, exactly once.
+    val tmp = Files.createTempDirectory("events_twsr")
+    val ckpt = s"$tmp/checkpoint"
+    val outDir = s"$tmp/out"
+    val inDir = s"$tmp/in"
+    Files.createDirectory(Paths.get(inDir))
+    val all = batchEvents.orderBy("ts", "event_id")
+    val cut = all.select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    def land(name: String, half: DataFrame): Unit = {
+      half.coalesce(1).write.parquet(s"$tmp/$name")
+      Files.move(Files.list(Paths.get(s"$tmp/$name"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get(),
+        Paths.get(s"$inDir/$name.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$tmp/$name"))
+    }
+    land("a", all.filter(unix_micros(col("ts")) <= cut))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    var st30State = 0L
+    try {
+      def run(): Unit = {
+        val q = Streams.trendingTypes(Streams.readEvents(spark, inDir)).toDF()
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        q.processAllAvailable()
+        st30State = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        q.stop()
+      }
+      run() // life 1: first half, then simulated driver death
+      land("b", all.filter(unix_micros(col("ts")) > cut))
+      run() // life 2: recovered timers + MapState from the checkpoint
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    val got = spark.read.schema(
+      "hour_ms BIGINT, rank INT, event_type STRING, cnt BIGINT").parquet(outDir)
+    val batchIn = spark.read.parquet(s"$inDir/a.parquet", s"$inDir/b.parquet")
+    val wmFinal = batchIn.select(max(unix_millis(col("ts")))).collect()(0)
+      .getLong(0) - 10L * 60 * 1000
+    // strict <: timers expire only when timer < watermark (ST-29 rule)
+    val expected = Streams.trendingBatch(batchIn)
+      .filter(col("hour_ms") + 3600L * 1000 < wmFinal)
+    assert(canon(got) == canon(expected))
+    assert(got.count() > 0, "expected some closed leaderboards")
+    // state pin intact after restart: open hours × (types + armed flag)
+    val nHours = batchIn
+      .select((unix_millis(col("ts")) - pmod(unix_millis(col("ts")),
+        lit(3600L * 1000))).as("h")).distinct().count()
+    val nTypes = batchIn.select("event_type").distinct().count()
+    assert(st30State <= nHours * (nTypes + 1),
+      s"post-restart trending state $st30State > ${nHours * (nTypes + 1)}")
+  }
+
   test("ST-11 foreachBatch incremental CDC merge equals the global batch upsert") {
     // The lakehouse MERGE pattern without a table format: each
     // micro-batch folds into a running latest-per-key state via
