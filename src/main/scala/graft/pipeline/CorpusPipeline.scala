@@ -70,7 +70,14 @@ class CorpusPipeline(
     val evalCorpus: Option[DataFrame] = None, // None = decontamination off
     val contamNgram: Int = 8,
     val nearDupThreshold: Double = 0.5,
-    val capPerLanguage: Option[Int] = None) extends Serializable {
+    val capPerLanguage: Option[Int] = None,
+    // near-dup similarity unit: 1 = unigram token sets (cheap, fine for
+    // natural vocabularies), n>1 = n-gram shingles — the production
+    // discipline when the vocabulary is small relative to doc length
+    // (unigram SETS of such corpora are near-identical across docs, so
+    // the true pair graph is quadratic regardless of engine; shingles
+    // restore a discriminative similarity, see the BASELINE.md caveat)
+    val shingleNgram: Int = 1) extends Serializable {
 
   def run(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, PipelineReport) = {
@@ -150,7 +157,9 @@ class CorpusPipeline(
     // every non-minimum cluster member. components() eagerly
     // checkpoints, so the anti-join below never re-derives the funnel.
     val dupIds = Dedup.nearDupComponents(
-        exactKept, idCol, array_distinct(split(col(textCol), " ")),
+        exactKept, idCol,
+        if (shingleNgram <= 1) array_distinct(split(col(textCol), " "))
+        else Dedup.shingles(col(textCol), shingleNgram),
         threshold = nearDupThreshold, bands = 64, rowsPerBand = 2)
       .filter(col(idCol) =!= col("component"))
       .select(idCol)

@@ -208,6 +208,43 @@ object ScaleProbe {
     println(f"SCALEPROBE dbscan rows=$nEmb out=$dbE clusters=$dbC " +
       f"sec=${tDbE + tDbC}%.2f")
     }
+    family("pipeline") {
+    // end-to-end CorpusPipeline funnel (round-9 directive #8): scrub →
+    // langid → quality → repetition → LM → exact dedup → near-dedup,
+    // with 3-gram shingles for the near stage (the production
+    // discipline on this vocabulary — see the BASELINE caveat). The
+    // repetition/LM cuts are set permissive so the probe measures the
+    // STAGES' cost, not fixture-specific cut rates; the dedup stages
+    // have planted truth: exact keepers = 19/20 of input, near-dedup
+    // removes a further ~1/20 (the planted near-copies).
+    val ((rep, outN), tPl) = timed {
+      val pl = new graft.pipeline.CorpusPipeline(
+        maxDup3Frac = Some(1.0), maxLmScore = Some(1e9),
+        nearDupThreshold = 0.5, shingleNgram = 3)
+      val (out, report) = pl.run(docs)
+      val n = out.count()
+      out.unpersist()
+      (report, n)
+    }
+    println(f"SCALEPROBE pipeline rows=$nDocs out=$outN " +
+      s"stages=${rep.input}/${rep.afterQuality}/${rep.afterExactDedup}/" +
+      f"${rep.afterNearDedup} sec=$tPl%.2f")
+    }
+    family("glove30") {
+    // GloVe block trainer on the FULL GenScale corpus at local[32]
+    // (round-9 directive #8: extends GloveScaleSpec's 50k-doc local[4]
+    // point): corpus → vocab → co-occurrence → 5 AdaGrad iterations.
+    // `out` = vocabulary size (fixture vocab is 30 words, so the cooc
+    // matrix is constant-size and the measured cost is the corpus-side
+    // linear pass — the honest scaling axis for this vocabulary).
+    val ((vocabN, l0, l1), tGl) = timed {
+      val model = new graft.glove.Glove(dim = 32, window = 5, minCount = 5,
+        iterations = 5, numPartitions = cpus.toInt, seed = 1L).fit(docs)
+      (model.embeddings.count(), model.lossHistory.head, model.lossHistory.last)
+    }
+    println(f"SCALEPROBE glove30 rows=$nDocs out=$vocabN " +
+      f"loss=$l0%.4f->$l1%.4f sec=$tGl%.2f")
+    }
     family("dbscan_coreset") {
 
     // The coreset-first DBSCAN discipline MEASURED (round-9 directive):
