@@ -51,6 +51,18 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    // teardown: the DDL/MERGE contract queries create managed graft_*
+    // tables (results are parquet-dumped above, so dropping is safe
+    // here) — without this every run leaves spark-warehouse/ residue in
+    // the working dir
+    spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("graft_") && t.tableType == "MANAGED")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    // the time-travel gate's versioned table is path-based, not a
+    // catalog entry — remove its directory the same way
+    val vd = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + "/graft_versioned_demo")
+    if (vd.exists) org.apache.commons.io.FileUtils.deleteDirectory(vd)
     spark.stop()
   }
 }

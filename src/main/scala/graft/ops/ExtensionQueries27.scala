@@ -95,8 +95,8 @@ object ExtensionQueries27 {
       .unionAll(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") >= 2)
-      .join(Triangles.perNode(edges).withColumnRenamed("n_triangles", "tri"),
-        Seq("id"), "left")
+      .join(Triangles.perNodeBounded(edges)
+        .withColumnRenamed("n_triangles", "tri"), Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
       .withColumn("coef",

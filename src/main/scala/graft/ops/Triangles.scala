@@ -131,6 +131,43 @@ object Triangles {
     *
     * @param edges undirected edge list as (u, v) with u < v, distinct.
     */
+  /** [[perNode]] under the same wedge disciplines as
+    * [[edgeSupportBounded]] (shuffle-hash streamed wedges, eager
+    * ⌈W/target⌉ hash-slices of the wedge source) — identical counts:
+    * slicing by source partitions the triangle list exactly, and the
+    * per-slice per-node partials sum to the single-pass result.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    */
+  def perNodeBounded(edges: DataFrame,
+      targetWedges: Long = 256000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val w = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"))
+      .head().getLong(0) / 2
+    val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    val parts = (0 until slices).map { i =>
+      val e1 = (if (slices == 1) oriented
+        else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+        .select(col("s").as("a"), col("t").as("b"))
+      val p = e1.join(e2.hint("shuffle_hash"), "b")
+        .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize NOW — one slice's wedge shuffle live at a time
+      p
+    }
+    val out = parts.reduce(_ unionAll _)
+      .groupBy("id").agg(sum("n_triangles").as("n_triangles"))
+      .localCheckpoint()
+    (oriented +: parts).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   def edgeSupportBounded(edges: DataFrame,
       targetWedges: Long = 256000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
