@@ -35,11 +35,11 @@ class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
     "ext_eccentricity" -> 27.0, // measured 5.5 s
     "ext_canonical" -> 21.0, // 3.9 s
     "q66_recursive" -> 20.0, // 3.7 s
-    "ext_trussup" -> 19.0, // 3.4 s
+    "ext_trussup" -> 19.0, // 2.9 s (round 9 wedge-bounded form)
     "ext_prefix_join" -> 14.0, // 2.2 s
     "ext_pagerank" -> 13.0, // 2.0 s
     "ext_closure" -> 12.0, // 1.8 s
-    "ext_clustcoef" -> 11.0, // 1.5 s
+    "ext_clustcoef" -> 11.0, // 1.4 s (round 9 perNodeBounded form)
     "ext_triangles" -> 11.0, // 1.4 s
     "ext_ngram_neardup" -> 11.0, // 1.4 s
     "ext_apriori3" -> 16.0, // 2.8 s (round 8; level-wise L2→C3→L3 chain,
@@ -50,9 +50,11 @@ class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
     // matching rounds)
     "ext_bootstrap" -> 9.0, // 1.0 s (round 8 re-rank; 200 deterministic
     // hash-resamples in one exploded aggregate)
-    "ext_betweenness" -> 32.0, // 6.7 s (round 8; fused forward-σ sweep
-    // + 3 backward-δ rounds over checkpointed edges — was 27.5 s before
-    // the edge-materialize + level/σ fusion)
+    "ext_betweenness" -> 32.0, // 4.2 s (round 9; the memory-bounded
+    // O(reach) form — lazy visited union over checkpointed σ levels —
+    // is also FASTER at this scale than round 8's 6.7 s because the
+    // per-round cumulative visited copies are gone; was 27.5 s before
+    // the round-8 edge-materialize + level/σ fusion)
     "ext_elbow" -> 14.0, // 2.2 s (round 8; 3 Lloyd rounds × k = 2/3/4)
     "ext_closeness" -> 15.0, // 2.4 s (round 8; 10-seed labeled BFS ×4 rounds)
     "ext_ppr" -> 13.5, // 2.1 s (round 8; 3 restart-vector iterations)
