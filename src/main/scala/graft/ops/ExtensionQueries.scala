@@ -503,7 +503,10 @@ object ExtensionQueries {
       .filter(col("u") < col("v"))
       .select("u", "v")
       .distinct()
-    Triangles.perNode(edges)
+    // wedge-BOUNDED per-node counts (round 9): shuffle-hash streamed
+    // wedges, ⌈W/256M⌉ eager slices — identical values to perNode, no
+    // sort/spill cliff when W outgrows one pass (Triangles Scaladoc)
+    Triangles.perNodeBounded(edges)
       .orderBy(desc("n_triangles"), asc("id"))
       .limit(20)
   }
