@@ -21,10 +21,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class GloveScaleSpec extends AnyFunSuite with SparkFixture {
 
   test("50k-doc corpus: fit under budget, loss decreases, vocab complete") {
+    // the heaviest single fit in the suite runs LAST-ish on a session
+    // ~70 suites deep: reclaim the unified pool first (evict cached
+    // plans, GC unreferenced checkpoint blocks) and retry once on a
+    // transient executor-memory failure — the ExtPerfBudgetSpec
+    // discipline; a real scaling regression fails both attempts
+    spark.sqlContext.clearCache()
+    System.gc()
     val docs = graft.tools.GenScale.documentsDf(spark, 50000L)
     val t0 = System.nanoTime()
-    val model = new Glove(dim = 32, window = 5, minCount = 5,
+    def fit() = new Glove(dim = 32, window = 5, minCount = 5,
       iterations = 5, numPartitions = 8, seed = 1L).fit(docs)
+    val model =
+      try fit()
+      catch { case _: org.apache.spark.SparkException =>
+        System.gc(); Thread.sleep(2000); fit()
+      }
     val vocabSize = model.embeddings.count()
     val sec = (System.nanoTime() - t0) / 1e9
     info(f"50k-doc fit: $sec%.1f s, vocab=$vocabSize, " +
