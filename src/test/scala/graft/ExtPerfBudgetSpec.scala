@@ -55,6 +55,9 @@ class ExtPerfBudgetSpec extends AnyFunSuite with SparkFixture {
     // is also FASTER at this scale than round 8's 6.7 s because the
     // per-round cumulative visited copies are gone; was 27.5 s before
     // the round-8 edge-materialize + level/σ fusion)
+    "ext_ktruss" -> 40.0, // 8.7 s (round 9; 3 peel rounds, ONE wedge
+    // enumeration each — the budget guards the per-round support pass
+    // staying W-bounded as edges shrink)
     "ext_elbow" -> 14.0, // 2.2 s (round 8; 3 Lloyd rounds × k = 2/3/4)
     "ext_closeness" -> 15.0, // 2.4 s (round 8; 10-seed labeled BFS ×4 rounds)
     "ext_ppr" -> 13.5, // 2.1 s (round 8; 3 restart-vector iterations)
