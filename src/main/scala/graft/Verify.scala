@@ -23,6 +23,12 @@ object Verify {
     // silent absence from the output dir (round 5 lost 33 queries to a
     // loader exception that only reached stderr).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Catalog snapshot BEFORE the run: teardown drops only graft_* managed
+    // tables CREATED by this run, so a pre-existing user table that happens
+    // to match the prefix survives.
+    val preExisting = spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("graft_") && t.tableType == "MANAGED")
+      .map(_.name).toSet
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -56,12 +62,18 @@ object Verify {
     // here) — without this every run leaves spark-warehouse/ residue in
     // the working dir
     spark.catalog.listTables().collect()
-      .filter(t => t.name.startsWith("graft_") && t.tableType == "MANAGED")
+      .filter(t => t.name.startsWith("graft_") && t.tableType == "MANAGED"
+        && !preExisting(t.name))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
     // the time-travel gate's versioned table is path-based, not a
-    // catalog entry — remove its directory the same way
-    val vd = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:") + "/graft_versioned_demo")
+    // catalog entry — remove its directory the same way (URI-decode the
+    // warehouse path: stripPrefix would keep %20-style escapes)
+    val whDir = {
+      val raw = spark.conf.get("spark.sql.warehouse.dir")
+      val u = new java.net.URI(raw)
+      if (u.getScheme == null) raw else new java.io.File(u).getPath
+    }
+    val vd = new java.io.File(whDir + "/graft_versioned_demo")
     if (vd.exists) org.apache.commons.io.FileUtils.deleteDirectory(vd)
     spark.stop()
   }

@@ -106,9 +106,16 @@ object ExtensionQueries114 {
         (col("sll") + col("lprior")).as("score"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("lang").asc)
+    // domain_ok pins the class-cap contract IN the output: if the train
+    // class domain ever outgrows the ordered limit(64), every row flips
+    // to false and the oracle (which computes the uncapped domain size)
+    // mismatches loudly — not as an unexplained hash drift (round-9
+    // advisor note)
+    val domainOk = nc.agg((count(lit(1)) <= 64).as("domain_ok"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .groupBy(col("actual"), col("lang").as("pred"))
       .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(domainOk))
       .orderBy("actual", "pred")
   }
 
@@ -173,6 +180,8 @@ object ExtensionQueries114 {
         |    row_number() over (partition by doc_id
         |      order by score desc, lang asc) rk
         |  from scored)
-        |select actual, lang pred, count(*) n_docs from pred
+        |select actual, lang pred, count(*) n_docs,
+        |  (select count(distinct lang) from traintok) <= 64 domain_ok
+        |from pred
         |where rk = 1 group by 1, 2 order by 1, 2""".stripMargin)
 }

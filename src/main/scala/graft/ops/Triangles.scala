@@ -67,16 +67,6 @@ object Triangles {
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
 
-  /** Per-edge triangle support — the k-truss building block: an edge's
-    * support is the number of triangles it closes, and the (k)-truss is
-    * the maximal subgraph where every edge has support ≥ k−2. Each
-    * triangle from [[triangleList]] credits its three edges
-    * (canonicalized back to u < v); edges in no triangle surface with
-    * support 0 via the left join.
-    *
-    * @param edges undirected edge list as (u, v) with u < v, distinct.
-    * @return (u, v, support) for EVERY input edge.
-    */
   /** The 3-per-triangle edge credits as one explode — NOT a 3-branch
     * union of selects over the triangle list: DataFrame unions don't
     * reuse common subplans, so the union form physically re-runs the
@@ -93,6 +83,16 @@ object Triangles {
         greatest(col("a"), col("c")).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
 
+  /** Per-edge triangle support — the k-truss building block: an edge's
+    * support is the number of triangles it closes, and the (k)-truss is
+    * the maximal subgraph where every edge has support ≥ k−2. Each
+    * triangle from [[triangleList]] credits its three edges
+    * (canonicalized back to u < v); edges in no triangle surface with
+    * support 0 via the left join.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    * @return (u, v, support) for EVERY input edge.
+    */
   def edgeSupport(edges: DataFrame): DataFrame = {
     val tedges = creditEdges(triangleList(edges))
       .groupBy("u", "v").agg(count(lit(1)).as("sup"))
@@ -131,6 +131,41 @@ object Triangles {
     *
     * @param edges undirected edge list as (u, v) with u < v, distinct.
     */
+  def edgeSupportBounded(edges: DataFrame,
+      targetWedges: Long = 256000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // exact wedge count from the oriented out-degrees — d(d−1) is even,
+    // so summing before the halving keeps everything in long arithmetic
+    val w = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"))
+      .head().getLong(0) / 2
+    val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    val parts = (0 until slices).map { i =>
+      val e1 = (if (slices == 1) oriented
+        else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+        .select(col("s").as("a"), col("t").as("b"))
+      val tri = e1.join(e2.hint("shuffle_hash"), "b")
+        .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+      val p = creditEdges(tri)
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize NOW — one slice's wedge shuffle live at a time
+      p
+    }
+    val sup = parts.reduce(_ unionAll _)
+      .groupBy("u", "v").agg(sum("sup").as("sup"))
+    // the per-edge join output is O(m) — detach it from the cache so the
+    // slice partials and the oriented edges can be dropped immediately
+    val out = edges.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+      .localCheckpoint()
+    (oriented +: parts).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** [[perNode]] under the same wedge disciplines as
     * [[edgeSupportBounded]] (shuffle-hash streamed wedges, eager
     * ⌈W/target⌉ hash-slices of the wedge source) — identical counts:
@@ -163,41 +198,6 @@ object Triangles {
     }
     val out = parts.reduce(_ unionAll _)
       .groupBy("id").agg(sum("n_triangles").as("n_triangles"))
-      .localCheckpoint()
-    (oriented +: parts).foreach(_.unpersist(blocking = false))
-    out
-  }
-
-  def edgeSupportBounded(edges: DataFrame,
-      targetWedges: Long = 256000000L): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    // exact wedge count from the oriented out-degrees — d(d−1) is even,
-    // so summing before the halving keeps everything in long arithmetic
-    val w = oriented.groupBy("s").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"))
-      .head().getLong(0) / 2
-    val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
-    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
-    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
-    val parts = (0 until slices).map { i =>
-      val e1 = (if (slices == 1) oriented
-        else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
-        .select(col("s").as("a"), col("t").as("b"))
-      val tri = e1.join(e2.hint("shuffle_hash"), "b")
-        .join(e3.hint("shuffle_hash"), Seq("a", "c"))
-      val p = creditEdges(tri)
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize NOW — one slice's wedge shuffle live at a time
-      p
-    }
-    val sup = parts.reduce(_ unionAll _)
-      .groupBy("u", "v").agg(sum("sup").as("sup"))
-    // the per-edge join output is O(m) — detach it from the cache so the
-    // slice partials and the oriented edges can be dropped immediately
-    val out = edges.join(sup, Seq("u", "v"), "left")
-      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
       .localCheckpoint()
     (oriented +: parts).foreach(_.unpersist(blocking = false))
     out
