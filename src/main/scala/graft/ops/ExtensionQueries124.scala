@@ -15,48 +15,84 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries124 {
 
-  // ---- E-471 k-truss peel (k = 4, 3 bounded rounds) --------------------------------
+  /** Round budget of the GATED instance. Measured peel-to-fixpoint
+    * depths: sf0.01 flags fixpoint on round 2 (115,729 → 115,662 →
+    * 115,660 → stable), sf0.1 on round 7 (1,196,000 → … → 1,109,228 →
+    * stable, deltas 61,909 / 22,380 / 1,719 / 658 / 81 / 21 / 4 / 0),
+    * so 9 gives one round of headroom; the operator itself takes
+    * maxRounds as a parameter. Each unrolled oracle round is one full
+    * DuckDB triangle enumeration, measured ~1.5 s at sf0.1 — cheap
+    * enough to unroll past the measured depth.
+    */
+  val MaxRounds = 9
+
+  // ---- E-471 k-truss peel to FIXPOINT (k = 4, bounded rounds) ----------------------
   // Round r: per-edge support on the CURRENT subgraph (the wedge-
   // bounded enumeration of [[Triangles.edgeSupportBounded]] — degrees
   // and orientation recomputed on survivors, exactly like the oracle's
-  // unrolled rounds), keep edges with support ≥ k−2 = 2. Three rounds
-  // bound the contract (full decomposition iterates to fixpoint; the
-  // per-round trace IS the convergence evidence). Output: one row per
-  // round — edges entering the round, edges surviving it, triangles in
-  // the entering graph — all exact longs; the counts are assembled
-  // driver-side from three bounded actions (3 rows by construction).
-  def extKtruss(s: SparkSession, dir: String): DataFrame = {
+  // unrolled rounds), keep edges with support ≥ k−2 = 2. Peeling stops
+  // at the first round that deletes nothing — n_kept = n_edges, the
+  // round's own census, flagged fixpoint=true in its trace row (no
+  // extra enumeration: a no-op peel is absorbing, so the stabilized
+  // graph IS the 4-truss) — or at maxRounds. Output: one row per
+  // EXECUTED round — edges entering the round, triangles in the
+  // entering graph, edges surviving, fixpoint flag — all exact longs,
+  // assembled driver-side from ≤ maxRounds bounded actions.
+  def extKtruss(s: SparkSession, dir: String): DataFrame =
+    ktrussTrace(s, dir, maxRounds = MaxRounds)
+
+  def ktrussTrace(s: SparkSession, dir: String, maxRounds: Int,
+      k: Int = 4): DataFrame = {
     val spark = s
     import spark.implicits._
-    val k = 4
-    var edges = ExtensionQueries27.coOrderEdges(s, dir).localCheckpoint()
-    val trace = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]
-    for (r <- 0 until 3) {
+    import org.apache.spark.storage.StorageLevel
+    var edges = ExtensionQueries27.coOrderEdges(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trace =
+      new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Boolean)]
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
       // ONE wedge enumeration per round: the support pass carries both
       // census quantities — sup has exactly one row per edge, and
-      // Σ support = 3·T (each triangle credits its three edges)
+      // Σ support = 3·T (each triangle credits its three edges).
+      // edgeSupportBounded returns an eagerly-checkpointed O(m) frame,
+      // so `kept` is a constant-depth filter over it: persist + count
+      // here, and the PREVIOUS round's edges unpersist as soon as the
+      // new survivors are materialized (round-9 advisor note — no O(m)
+      // block set outlives its round).
       val sup = Triangles.edgeSupportBounded(edges)
       val census = sup.agg(count(lit(1)).as("n"),
         coalesce(sum("support"), lit(0L)).as("s3")).head()
       val kept = sup.filter(col("support") >= k - 2)
         .select("u", "v")
-        .localCheckpoint()
-      trace += ((r, census.getLong(0), census.getLong(1) / 3, kept.count()))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nKept = kept.count()
+      edges.unpersist(blocking = false)
+      val nEdges = census.getLong(0)
+      trace += ((r, nEdges, census.getLong(1) / 3, nKept, nKept == nEdges))
       edges = kept
+      done = nKept == nEdges
+      r += 1
     }
-    trace.toSeq.toDF("round", "n_edges", "n_tri", "n_kept")
+    edges.unpersist(blocking = false)
+    trace.toSeq.toDF("round", "n_edges", "n_tri", "n_kept", "fixpoint")
       .orderBy("round")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ext_ktruss" -> (extKtruss _))
 
-  /** E-471 oracle: the three peel rounds unrolled — each round re-derives
-    * degrees/orientation on the survivors (matching the Spark side's
-    * re-orientation per round), enumerates triangles once, credits the
-    * three edges, and keeps support ≥ 2.
+  /** E-471 oracle: the peel rounds unrolled to MaxRounds — each round
+    * re-derives degrees/orientation on the survivors (matching the
+    * Spark side's re-orientation per round), enumerates triangles once,
+    * credits the three edges, and keeps support ≥ 2. Emission of round
+    * r is guarded on "no earlier round was a no-op peel", mirroring the
+    * Spark side's early stop; the fixpoint flag is the round's own
+    * n_kept = n_edges comparison.
     */
   private val ktrussOracleSql: String = {
+    val R = MaxRounds
     val sb = new StringBuilder
     sb.append(
       """with e_0 as materialized (
@@ -64,7 +100,7 @@ object ExtensionQueries124 {
         |  from lineitem a join lineitem b
         |  on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey),
         |""".stripMargin)
-    for (r <- 0 until 3) {
+    for (r <- 0 until R) {
       sb.append(
         s"""deg_$r as materialized (select kk, count(*) d from
            |  (select u kk from e_$r union all select v from e_$r) group by kk),
@@ -88,11 +124,19 @@ object ExtensionQueries124 {
     sb.setLength(sb.length - 2) // drop the trailing ",\n" after the last CTE
     sb.append("\n")
     sb.append(
-      (0 until 3).map { r =>
+      (0 until R).map { r =>
+        val guard =
+          if (r == 0) ""
+          else "\nwhere " + (0 until r)
+            .map(p => s"(select count(*) from e_${p + 1}) <> " +
+              s"(select count(*) from e_$p)")
+            .mkString(" and ")
         s"""select $r as round,
            |  (select cast(count(*) as bigint) from e_$r) n_edges,
            |  (select cast(count(*) as bigint) from tri_$r) n_tri,
-           |  (select cast(count(*) as bigint) from e_${r + 1}) n_kept""".stripMargin
+           |  (select cast(count(*) as bigint) from e_${r + 1}) n_kept,
+           |  (select count(*) from e_${r + 1}) =
+           |    (select count(*) from e_$r) fixpoint$guard""".stripMargin
       }.mkString("\nunion all\n"))
     sb.append("\norder by round")
     sb.toString
