@@ -74,13 +74,13 @@ object ExtensionQueries125 {
       .distinct()
     val denom = lit(4L * m * m).cast("double")
 
-    var labels = nodes.select(col("n"), col("n").as("lbl")).localCheckpoint()
+    var labels = Louvain.pin(nodes.select(col("n"), col("n").as("lbl")))
     val trace =
       new scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Boolean)]
     var r = 0
     var done = false
     while (r < MaxRounds && !done) {
-      val nl = Louvain.moveRound(e, selfw0, labels, m).localCheckpoint()
+      val nl = Louvain.pin(Louvain.moveRound(e, selfw0, labels, m))
       val nMoved = nl
         .join(labels.withColumnRenamed("lbl", "old"), "n")
         .filter(col("lbl") =!= col("old")).count()
@@ -93,10 +93,10 @@ object ExtensionQueries125 {
 
     // coarsen from the stage-A fixpoint labels and run one more round
     val (ce0, cs0, cn0) = Louvain.coarsen(e, selfw0, labels)
-    val ce = ce0.localCheckpoint()
-    val cs = cs0.localCheckpoint()
+    val ce = Louvain.pin(ce0)
+    val cs = Louvain.pin(cs0)
     val cLabels = cn0.select(col("n"), col("n").as("lbl"))
-    val nl2 = Louvain.moveRound(ce, cs, cLabels, m).localCheckpoint()
+    val nl2 = Louvain.pin(Louvain.moveRound(ce, cs, cLabels, m))
     val nMoved2 = nl2
       .join(cLabels.withColumnRenamed("lbl", "old"), "n")
       .filter(col("lbl") =!= col("old")).count()

@@ -43,6 +43,27 @@ import org.apache.spark.sql.functions._
   */
 object Louvain {
 
+  /** Lineage + STATS truncating checkpoint. `localCheckpoint` alone is
+    * not enough for this loop: Spark's checkpointed `LogicalRDD` carries
+    * the ORIGIN plan's size estimate forward, and [[moveRound]]'s plan
+    * multiplies the labels frame into itself ~6 times (k, σ, w_i→c, the
+    * mover stats, the final relabel join), so the propagated
+    * `sizeInBytes` bit-length MULTIPLIES by ~6 every round — by round 9
+    * the optimizer is doing Toom-Cook arithmetic on million-digit
+    * BigIntegers inside every stats visit (measured: 17 min of driver
+    * CPU at sf0.01 before this helper; seconds after). Frontier-style
+    * loops (PageRank, BFS) reference the previous round ONCE, so their
+    * stats grow linearly and plain localCheckpoint is fine — this
+    * pathology is specific to self-multiplying round plans. Rebuilding
+    * the frame from the checkpointed RDD resets the leaf to the default
+    * size estimate, which also (correctly, at scale) keeps the per-node
+    * labels table on the shuffle-join path rather than broadcast.
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** Exact weighted degree per node: adjacent edge weight + 2× the
     * node's self-loop weight (a self-loop contributes both endpoints).
     * `selfw` may be null-free empty; nodes come from `nodes` so

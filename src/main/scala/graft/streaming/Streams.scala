@@ -117,6 +117,34 @@ object Streams {
     events.groupBy()
       .agg(expr(s"approx_top_k(event_type, $k, $maxTracked)").as("t"))
 
+  // ---- ST-31 incremental mergeable-quantile (KLL) rollup --------------------
+  /** Per-key KLL(k) quantile state of one micro-batch — the E-468
+    * slice→sketch discipline with the micro-batch as the slice: each
+    * batch is reduced to one O(k·log n) sketch blob per key BEFORE it
+    * touches the running state, so the fold's input is sketch-sized, not
+    * data-sized. Completes the streaming sketch family (HLL distinct,
+    * approx_top_k frequency ST-10, and now rank/quantile): an exact
+    * streaming percentile would need the full value multiset resident —
+    * unbounded state at 100 TB — while KLL state is O(keys · k) forever.
+    */
+  def kllBatchState(batch: DataFrame, key: String, value: String,
+      k: Int = 800): DataFrame =
+    batch.groupBy(col(key))
+      .agg(expr(s"kll_sketch_agg_double(cast($value as double), $k)").as("sk"))
+
+  /** Fold one batch's sketch state into the running state:
+    * `kll_merge_agg_double` over the union — associative and
+    * commutative (sketch merge), so the micro-batch replay must agree
+    * with a one-pass batch sketch within the k=800 RANK-error bound
+    * (~0.35% at 99% conf; gated at ±1% rank in StreamingSpec ST-31,
+    * the value-density-independent gate E-468 settled on).
+    */
+  def kllMergeState(prev: DataFrame, cur: DataFrame, key: String,
+      k: Int = 800): DataFrame =
+    prev.unionByName(cur)
+      .groupBy(col(key))
+      .agg(expr(s"kll_merge_agg_double(sk, $k)").as("sk"))
+
   // ---- ST-6 stream-static join -------------------------------------------
   def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(broadcast(customers),

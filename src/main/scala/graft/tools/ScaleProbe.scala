@@ -120,12 +120,17 @@ object ScaleProbe {
       println(f"SCALEPROBE $q rows=$m out=$out sec=$tQ%.2f")
     }
 
+    }
+
+    family("components") {
     // ext_components' driver contract caps input at 1,000 docs (scale-
     // independent by construction), so the honest scaling probe for the
     // components OP runs hash-min pointer-jumping over the FULL corpus:
     // near-dup edges from 3-gram-shingle LSH (linear planted dup rate →
     // linear edge count), then components. `out` = number of multi-doc
-    // clusters — planted at rows/20, so linear.
+    // clusters — planted at rows/20, so linear. Own family since
+    // round 10 (was inside `graph`) so the mult=100 battery can measure
+    // it without paying for the five driver graph queries.
     val (comps, tC) = timed {
       graft.ops.Dedup.nearDupComponents(docs, "doc_id",
           graft.ops.Dedup.shingles(col("text"), 3),

@@ -914,6 +914,59 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(m(state.get) == m(expected))
   }
 
+  test("ST-31 foreachBatch incremental KLL rollup lands in the batch rank gate") {
+    // The streaming face of E-468: each micro-batch collapses to one
+    // KLL(800) sketch blob per event_type (kllBatchState), folded into
+    // the running state with kll_merge_agg_double (kllMergeState) —
+    // state is O(keys · k) regardless of stream length, where an exact
+    // streaming percentile would hold the full value multiset. KLL
+    // compaction is randomized, so the gate is E-468's rank bracket:
+    // the EXACT p50/p95 of the replayed data must lie between the
+    // merged sketch's quantiles at ranks ±1% (3× the k=800 rank-error
+    // bound) — a value-density-independent check that cannot flake.
+    val tmp = Files.createTempDirectory("events_kll")
+    val src = Paths.get(s"$sf0001/events.parquet")
+    Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    var batches = 0
+    val q = Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        val s = Streams.kllBatchState(batch, "event_type", "value")
+        val merged = Option(state.get)
+          .fold(s)(prev => Streams.kllMergeState(prev, s, "event_type"))
+        import scala.jdk.CollectionConverters._
+        state.set(spark.createDataFrame(
+          merged.collect().toSeq.asJava, merged.schema))
+        ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    // duplicating every value leaves the quantiles of the multiset
+    // unchanged, so the exact side can aggregate the single fixture
+    val nTypes = batchEvents.select("event_type").distinct().count()
+    assert(state.get.count() == nTypes,
+      s"KLL state ${state.get.count()} rows != key domain $nTypes (O(keys) bound)")
+    val gate = state.get
+      .select(col("event_type"),
+        expr("kll_sketch_get_quantile_double(sk, 0.49)").as("e49"),
+        expr("kll_sketch_get_quantile_double(sk, 0.51)").as("e51"),
+        expr("kll_sketch_get_quantile_double(sk, 0.94)").as("e94"),
+        expr("kll_sketch_get_quantile_double(sk, 0.96)").as("e96"))
+      .join(batchEvents.groupBy("event_type").agg(
+        expr("percentile_cont(0.5) within group (order by cast(value as double))")
+          .as("x50"),
+        expr("percentile_cont(0.95) within group (order by cast(value as double))")
+          .as("x95")), "event_type")
+    val bad = gate.filter(
+      col("x50") < col("e49") || col("x50") > col("e51") ||
+      col("x95") < col("e94") || col("x95") > col("e96"))
+    assert(bad.isEmpty, s"rank gate missed: ${bad.collect().mkString("; ")}")
+  }
+
   test("ST-8 stream-stream interval join equals batch interval join") {
     val src = Streams.readEvents(spark, eventsDir)
     val got = replay(Streams.clickViewJoin(src), "append")
