@@ -100,10 +100,21 @@ object Dedup {
     *    otherwise pair every empty doc with every other.
     */
   def minhashCandidatesFromSets(docs: DataFrame, idCol: String, setCol: Column,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int): DataFrame =
+    minhashCandidatesFromHashedSets(docs, idCol,
+      transform(setCol, e => xxhash64(e)), bands, rowsPerBand)
+
+  /** [[minhashCandidatesFromSets]] over a set whose elements are ALREADY
+    * xxhash64-hashed to longs. Signatures are bit-identical to the
+    * string-set form (the minhash is a min over the same multiset of
+    * hashed values — element order never matters), so callers that
+    * have a pre-hashed set (the canonical-group pipeline keeps one for
+    * the recheck) skip re-hashing every element per document.
+    */
+  def minhashCandidatesFromHashedSets(docs: DataFrame, idCol: String,
+      hsetCol: Column, bands: Int, rowsPerBand: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val withSig = docs.select(col(idCol).as("id"),
-        transform(setCol, e => xxhash64(e)).as("set_"))
+    val withSig = docs.select(col(idCol).as("id"), hsetCol.as("set_"))
       .filter(size(col("set_")) > 0)
       .select(col("id"), call_function("minhash_signature",
         col("set_"), lit(bands * rowsPerBand)).as("sig"))
@@ -206,7 +217,7 @@ object Dedup {
     val jacLower = tau / (1 + sizeRatio - tau) * 0.999
     val (groups, setPairs) =
       setGroupsAndPairs(docs, idCol, setCol, jacLower, bands, rowsPerBand)
-    val sizes = groups.select(col("gid"), size(col("set_")).as("sz"), col("ids"))
+    val sizes = groups.select(col("gid"), size(col("hset")).as("sz"), col("ids"))
     val cross = setPairs
       .join(sizes.select(col("gid").as("ga"), col("sz").as("na"),
         col("ids").as("ids_a")), "ga")
@@ -247,28 +258,37 @@ object Dedup {
   }
 
   /** Shared stages 1-3 of the set-canonical near-dup pipeline: the
-    * persisted (set_, ids, gid, hset) group table and the qualifying
+    * persisted (hset, ids, gid) group table and the qualifying
     * SET-level pairs (ga, gb, jac).
     *
-    * hset: the set's elements hashed to longs and re-sorted — the
-    * recheck runs on these via the native merge-walk
-    * sorted_long_jaccard (equal to string-set Jaccard, property-tested;
-    * string array_intersect/array_union over millions of candidate
-    * pairs was the measured recheck bottleneck at sf0.1).
+    * hset: the set's elements hashed to longs and sorted — the group
+    * KEY, the signature input, and the recheck input. Grouping on the
+    * hashed-long array instead of the raw string array was measured
+    * ~30% of the whole kernel's wall at mult=100 (500k docs): the
+    * canonicalize shuffle carries 8-byte elements instead of shingle
+    * strings and compares long arrays in the aggregation hash map.
+    * Semantics are unchanged — signature minhashes mix element HASHES
+    * either way (bit-identical output), and the recheck has always been
+    * the native merge-walk sorted_long_jaccard over these hashes (equal
+    * to string-set Jaccard, property-tested; string
+    * array_intersect/array_union over millions of candidate pairs was
+    * the measured recheck bottleneck at sf0.1) — so elementwise-hash
+    * equality was already the pipeline's identity basis before the key
+    * change.
     */
   private def setGroupsAndPairs(docs: DataFrame, idCol: String, setCol: Column,
       threshold: Double, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val groups = docs
-      .select(col(idCol).as("id"), sort_array(setCol).as("set_"))
-      .groupBy("set_")
+      .select(col(idCol).as("id"),
+        sort_array(transform(setCol, e => xxhash64(e))).as("hset"))
+      .groupBy("hset")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .withColumn("gid", element_at(col("ids"), 1))
-      .withColumn("hset", sort_array(transform(col("set_"), e => xxhash64(e))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val setPairs = minhashCandidatesFromSets(
-        groups.select(col("gid"), col("set_")), "gid", col("set_"),
+    val setPairs = minhashCandidatesFromHashedSets(
+        groups.select(col("gid"), col("hset")), "gid", col("hset"),
         bands, rowsPerBand)
       .join(groups.select(col("gid").as("id_a"), col("hset").as("sa")), "id_a")
       .join(groups.select(col("gid").as("id_b"), col("hset").as("sb")), "id_b")

@@ -73,12 +73,16 @@ object ExtensionQueries87 {
       .groupBy(col("da"), col("db"), col("jexact"))
       .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
         .cast("double") / 32).as("jest"))
+    // ≤ 21-row barrier: binned feeds BOTH the output projection and the
+    // tot re-aggregate — without it the whole sigs/SNM/est DAG runs
+    // twice (measured 20.8 s → ~11 s at sf0.1, half the query's wall)
     val binned = est
       .withColumn("errbin",
         floor(abs(col("jest") - col("jexact")) * 20).cast("long"))
       .groupBy("errbin").agg(count(lit(1)).as("n_pairs"),
         sum(round(abs(col("jest") - col("jexact")) * lit(1e9))
           .cast("long")).as("errq"))
+      .localCheckpoint()
     val tot = binned.agg(sum("n_pairs").as("np"),
       sum("errq").as("eq")).limit(1)
     binned.crossJoin(broadcast(tot))

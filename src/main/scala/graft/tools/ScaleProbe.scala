@@ -35,9 +35,15 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions default to the thread count (the bench
+    // protocol), overridable because partitions-per-data IS the 100 TB
+    // knob: at mult=100 the 32M-row banded LSH self-join puts ~1M rows
+    // in each of 32 partitions and spills — a cluster would never run
+    // 100× the data on a constant partition count.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt
     val spark = SparkSession.builder()
       .appName("graft-scaleprobe").master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.functions.GraftFunctions.register(spark)
