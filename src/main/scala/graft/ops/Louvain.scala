@@ -43,26 +43,14 @@ import org.apache.spark.sql.functions._
   */
 object Louvain {
 
-  /** Lineage + STATS truncating checkpoint. `localCheckpoint` alone is
-    * not enough for this loop: Spark's checkpointed `LogicalRDD` carries
-    * the ORIGIN plan's size estimate forward, and [[moveRound]]'s plan
-    * multiplies the labels frame into itself ~6 times (k, σ, w_i→c, the
-    * mover stats, the final relabel join), so the propagated
-    * `sizeInBytes` bit-length MULTIPLIES by ~6 every round — by round 9
-    * the optimizer is doing Toom-Cook arithmetic on million-digit
-    * BigIntegers inside every stats visit (measured: 17 min of driver
-    * CPU at sf0.01 before this helper; seconds after). Frontier-style
-    * loops (PageRank, BFS) reference the previous round ONCE, so their
-    * stats grow linearly and plain localCheckpoint is fine — this
-    * pathology is specific to self-multiplying round plans. Rebuilding
-    * the frame from the checkpointed RDD resets the leaf to the default
-    * size estimate, which also (correctly, at scale) keeps the per-node
-    * labels table on the shuffle-join path rather than broadcast.
+  /** Lineage + STATS truncating checkpoint — [[moveRound]]'s plan
+    * multiplies the labels frame into itself ~6 times per round (k, σ,
+    * w_i→c, the mover stats, the final relabel join), the
+    * self-multiplying shape whose propagated `sizeInBytes` explodes
+    * without a stats reset. The mechanism and measurements live with
+    * the shared helper: [[Plans.pin]].
     */
-  def pin(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+  def pin(df: DataFrame): DataFrame = Plans.pin(df)
 
   /** Exact weighted degree per node: adjacent edge weight + 2× the
     * node's self-loop weight (a self-loop contributes both endpoints).
@@ -172,5 +160,82 @@ object Louvain {
       .groupBy("n").agg(sum("sw").as("sw"))
     val cNodes = labels.select(col("lbl").as("n")).distinct()
     (cEdges, cSelf, cNodes)
+  }
+
+  /** Per-level summary of one [[cluster]] level: `rounds` move rounds
+    * were EXECUTED (the last one moved nothing when the level hit its
+    * fixpoint inside `maxRounds`), `nMoved` summed over them, and the
+    * level-end partition's exact community count / modularity numerator
+    * (Q = qNum / (4m²)).
+    */
+  final case class LevelStats(level: Int, rounds: Int, nMoved: Long,
+      nComms: Long, qNum: Long)
+
+  /** FULL multi-level Louvain: repeat [move-to-fixpoint → coarsen]
+    * until a level's move rounds move NOTHING (the standard stopping
+    * rule — a zero-mover level means coarsening again would rebuild the
+    * identical graph, so the partition is final). E-472's single
+    * [fixpoint + coarsen + one round] is the first iteration of this
+    * loop; the kernels are level-agnostic, this is just the recursion.
+    *
+    * Returns the flat assignment on the ORIGINAL node ids — each
+    * level's fixpoint labels composed through the super-node chain
+    * (one keyed join per level, O(levels) of them) — plus per-level
+    * stats. Every per-round frame is [[pin]]ned: move plans are
+    * self-multiplying, so both lineage and the stats estimate must be
+    * truncated each round (see [[Plans.pin]]).
+    *
+    * Scale: identical per-round cost to [[moveRound]]; levels SHRINK
+    * the graph geometrically in practice, so the level loop adds
+    * O(levels) driver actions over strictly smaller inputs — at 100 TB
+    * the first level dominates and later levels run on
+    * communities-as-rows.
+    *
+    * @param maxRounds per-level safety valve (termination is guaranteed
+    *                  by strictly-smaller-label adoption regardless)
+    * @param maxLevels safety valve on the level recursion (the graph
+    *                  can shrink at most log-fold per level, so real
+    *                  inputs converge in a handful)
+    */
+  def cluster(edges0: DataFrame, selfw0: DataFrame, nodes0: DataFrame,
+      m: Long, maxRounds: Int = 20, maxLevels: Int = 10)
+      : (DataFrame, Seq[LevelStats]) = {
+    var edges = pin(edges0)
+    var selfw = pin(selfw0)
+    var nodes = nodes0
+    // original node -> its current super-node (identity at level 0)
+    var assign = pin(nodes0.select(col("n"), col("n").as("lbl")))
+    val stats = scala.collection.mutable.ArrayBuffer.empty[LevelStats]
+    var level = 0
+    var converged = false
+    while (level < maxLevels && !converged) {
+      var labels = pin(nodes.select(col("n"), col("n").as("lbl")))
+      var total = 0L
+      var rounds = 0
+      var fix = false
+      while (rounds < maxRounds && !fix) {
+        val nl = pin(moveRound(edges, selfw, labels, m))
+        val nm = nl.join(labels.withColumnRenamed("lbl", "old"), "n")
+          .filter(col("lbl") =!= col("old")).count()
+        total += nm
+        fix = nm == 0L
+        labels = nl
+        rounds += 1
+      }
+      val sc = scorePartition(edges, selfw, labels, m).head()
+      stats += LevelStats(level, rounds, total, sc.getLong(1), sc.getLong(0))
+      if (total == 0L) converged = true
+      else {
+        assign = pin(assign.select(col("n"), col("lbl").as("cur"))
+          .join(labels.select(col("n").as("cur"), col("lbl")), "cur")
+          .select(col("n"), col("lbl")))
+        val (ce, cs, cn) = coarsen(edges, selfw, labels)
+        edges = pin(ce)
+        selfw = pin(cs)
+        nodes = cn
+        level += 1
+      }
+    }
+    (assign, stats.toSeq)
   }
 }

@@ -129,8 +129,12 @@ object Streams {
     */
   def kllBatchState(batch: DataFrame, key: String, value: String,
       k: Int = 800): DataFrame =
-    batch.groupBy(col(key))
-      .agg(expr(s"kll_sketch_agg_double(cast($value as double), $k)").as("sk"))
+    // resolve `value` via col() (handles dotted/spaced names needing
+    // backticks, like the key) and hand the SQL string a fixed alias —
+    // only the Int k is ever spliced into the expr text
+    batch.withColumn("__graft_kll_v", col(value).cast("double"))
+      .groupBy(col(key))
+      .agg(expr(s"kll_sketch_agg_double(__graft_kll_v, $k)").as("sk"))
 
   /** Fold one batch's sketch state into the running state:
     * `kll_merge_agg_double` over the union — associative and

@@ -29,8 +29,13 @@ object ScaleProbe {
   private val probeFamilies: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_PROBES").map(_.split(",").map(_.trim).toSet)
 
-  private def family(name: String)(body: => Unit): Unit =
-    if (probeFamilies.forall(_.contains(name))) body
+  /** `aliases`: legacy family names this probe also answers to —
+    * components_full lived inside `graph` through round 9, so saved
+    * SPARK_GRAFT_PROBES=graph repro scripts keep emitting it.
+    */
+  private def family(name: String, aliases: String*)(body: => Unit): Unit =
+    if (probeFamilies.forall(f => f.contains(name) || aliases.exists(f.contains)))
+      body
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -128,7 +133,7 @@ object ScaleProbe {
 
     }
 
-    family("components") {
+    family("components", "graph") {
     // ext_components' driver contract caps input at 1,000 docs (scale-
     // independent by construction), so the honest scaling probe for the
     // components OP runs hash-min pointer-jumping over the FULL corpus:
@@ -136,7 +141,9 @@ object ScaleProbe {
     // linear edge count), then components. `out` = number of multi-doc
     // clusters — planted at rows/20, so linear. Own family since
     // round 10 (was inside `graph`) so the mult=100 battery can measure
-    // it without paying for the five driver graph queries.
+    // it without paying for the five driver graph queries; still
+    // answers to `graph` (alias) so pre-round-10 repro scripts keep
+    // emitting the components_full line.
     val (comps, tC) = timed {
       graft.ops.Dedup.nearDupComponents(docs, "doc_id",
           graft.ops.Dedup.shingles(col("text"), 3),

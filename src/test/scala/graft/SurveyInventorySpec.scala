@@ -32,18 +32,29 @@ class SurveyInventorySpec extends AnyFunSuite {
   }
 
   // operator rows: "| <ID> | ..." where ID looks like S-1 / A-8b / Q-SQ /
-  // OP-MERGE / PIPE-LM / ST-12 / X-4c — an all-caps family tag, a dash,
-  // and an alphanumeric suffix. Header/separator rows don't match.
-  private val idRe = """^\|\s*\*{0,2}([A-Z]+-[A-Za-z0-9]+)\*{0,2}\s*\|.*""".r
+  // OP-MERGE-DEL / PIPE-LM / ST-12 / X-4c — an all-caps family tag, a
+  // dash, and a dash-separated alphanumeric suffix (the suffix may itself
+  // contain dashes: OP-MERGE-DEL). Header/separator rows don't match.
+  private val idRe = """^\|\s*\*{0,2}([A-Z]+-[A-Za-z0-9][A-Za-z0-9-]*)\*{0,2}\s*\|.*""".r
 
   private lazy val rows: Vector[(String, String)] = section2.collect {
     case l @ idRe(id) => (id, l)
   }
 
+  // Pinned §2 row count: a row that stops parsing (format drift, a regex
+  // that silently skips an ID shape — the round-10 OP-MERGE-DEL escape)
+  // must FAIL here, not vanish from the coverage audit. Bump this number
+  // in the same commit that adds a §2 row.
+  private val ExpectedRowCount = 671
+
   test("every §2 operator row has a unique ID") {
     assert(rows.nonEmpty, "no §2 rows parsed — did the table format change?")
     val dupes = rows.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
     assert(dupes.isEmpty, s"duplicate §2 operator IDs: ${dupes.mkString(", ")}")
+    assert(rows.size == ExpectedRowCount,
+      s"§2 row count drifted: parsed ${rows.size}, pinned $ExpectedRowCount — " +
+        "if you added/removed a row, bump ExpectedRowCount in the same commit; " +
+        "otherwise a row stopped parsing")
   }
 
   test("no batch silently shadows another batch's query (Map ++ collision guard)") {

@@ -964,7 +964,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val bad = gate.filter(
       col("x50") < col("e49") || col("x50") > col("e51") ||
       col("x95") < col("e94") || col("x95") > col("e96"))
-    assert(bad.isEmpty, s"rank gate missed: ${bad.collect().mkString("; ")}")
+    // collect once: assert(cond, clue) evaluates the clue eagerly, so an
+    // inline bad.collect() would re-run the full rank-gate join even on pass
+    val misses = bad.collect()
+    assert(misses.isEmpty, s"rank gate missed: ${misses.mkString("; ")}")
   }
 
   test("ST-8 stream-stream interval join equals batch interval join") {
