@@ -104,6 +104,36 @@ object Dedup {
     minhashCandidatesFromHashedSets(docs, idCol,
       transform(setCol, e => xxhash64(e)), bands, rowsPerBand)
 
+  /** Banded-row threshold past which the LSH self-join is materialized
+    * EAGERLY with partitions scaled to the banded volume (rows/250k,
+    * AQE coalescing off for those jobs). At m100 (500k distinct sets ×
+    * 64 bands = 32M banded rows) the session's 32 partitions put ~1M
+    * rows in every sort-merge partition on BOTH sides and the sorts
+    * spill — measured 126–192 s; at 128 partitions (250k rows each)
+    * the sorts stay in memory — measured 108 s. This is the
+    * partitions-per-data knob a cluster turns automatically; one box
+    * has to turn it here. Fixture-scale inputs stay on the lazy
+    * single-plan path, unchanged.
+    */
+  private val PartitionScaleRows = 8000000L
+
+  /** Live banded-row budget per join GROUP — the beyond-memory degrade:
+    * past this, bands are processed in ⌈rows/target⌉ contiguous groups
+    * (the Triangles wedge-slice discipline applied to signatures), each
+    * eagerly materialized so only one group's shuffle is live; the
+    * union of per-group candidates is set-equal to the single-join
+    * result (a pair qualifies iff SOME band bucket matches — band
+    * partitioning is exact). Groups re-scan the persisted signatures,
+    * so they cost redundancy: measured at m100 via the env override,
+    * G=4 ran 202 s vs the partition-scaled single join's 108 s — which
+    * is why the default engages only PAST the partition-scaling fix's
+    * reach (≈64M live rows ≈ 16 GiB of sort buffers at 256 partitions),
+    * where a single join would thrash regardless of partition count.
+    * `SPARK_GRAFT_LSH_TARGET` overrides (the cluster knob surface).
+    */
+  private val TargetBandedRows: Long =
+    sys.env.get("SPARK_GRAFT_LSH_TARGET").map(_.toLong).getOrElse(64000000L)
+
   /** [[minhashCandidatesFromSets]] over a set whose elements are ALREADY
     * xxhash64-hashed to longs. Signatures are bit-identical to the
     * string-set form (the minhash is a min over the same multiset of
@@ -112,27 +142,64 @@ object Dedup {
     * the recheck) skip re-hashing every element per document.
     */
   def minhashCandidatesFromHashedSets(docs: DataFrame, idCol: String,
-      hsetCol: Column, bands: Int, rowsPerBand: Int): DataFrame = {
+      hsetCol: Column, bands: Int, rowsPerBand: Int,
+      targetBandedRows: Long = TargetBandedRows): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val withSig = docs.select(col(idCol).as("id"), hsetCol.as("set_"))
       .filter(size(col("set_")) > 0)
       .select(col("id"), call_function("minhash_signature",
         col("set_"), lit(bands * rowsPerBand)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // band b hashes its own rowsPerBand signature slots — cheap
     // element_at reads against the cached signature
-    val bandedExpr = transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"),
-        xxhash64((0 until rowsPerBand).map(r0 =>
-          element_at(col("sig"), b * rowsPerBand + lit(r0) + 1)): _*).as("bh")))
-    val banded = withSig
-      .select(col("id"), explode(bandedExpr).as("bucket"))
-      .select(col("id"), col("bucket.band"), col("bucket.bh"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    def pairsForBands(lo: Int, hi: Int): DataFrame = {
+      val bandedExpr = transform(sequence(lit(lo), lit(hi - 1)), b =>
+        struct(b.as("band"),
+          xxhash64((0 until rowsPerBand).map(r0 =>
+            element_at(col("sig"), b * rowsPerBand + lit(r0) + 1)): _*).as("bh")))
+      val banded = withSig
+        .select(col("id"), explode(bandedExpr).as("bucket"))
+        .select(col("id"), col("bucket.band"), col("bucket.bh"))
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+    }
+    val spark = docs.sparkSession
+    val nSets = withSig.count()
+    val bandedRows = nSets * bands
+    val groups = math.min(bands.toLong,
+      math.max(1L, (bandedRows + targetBandedRows - 1) / targetBandedRows)).toInt
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
+    val liveRows = bandedRows / groups
+    val scaleConfs: Seq[(String, String)] =
+      if (liveRows <= PartitionScaleRows) Seq.empty
+      else Seq(
+        "spark.sql.shuffle.partitions" ->
+          math.max(minParts, (liveRows / 250000L).toInt).toString,
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    if (groups == 1 && scaleConfs.isEmpty) pairsForBands(0, bands)
+    else Plans.withConf(spark, scaleConfs: _*) {
+      // contiguous band ranges, processed EAGERLY one at a time so only
+      // one group's banded shuffle is live; per-group pairs are ≤ the
+      // true candidate set, so the partials are output-sized
+      val cuts = (0 to groups).map(g => (g.toLong * bands / groups).toInt)
+      val parts = (0 until groups).map { g =>
+        val p = pairsForBands(cuts(g), cuts(g + 1))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+      val out = (if (groups == 1) parts.head
+        else parts.reduce(_ unionAll _).distinct())
+        .localCheckpoint()
+      parts.foreach(_.unpersist(blocking = false))
+      withSig.unpersist(blocking = false)
+      out
+    }
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard recheck: candidates

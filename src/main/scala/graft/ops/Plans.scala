@@ -1,9 +1,26 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Plan-shape utilities shared by the iterate-to-fixpoint operators. */
 object Plans {
+
+  /** Run `body` with session confs temporarily overridden, restoring the
+    * previous values (or unsetting) afterwards. Runtime confs are read
+    * at ACTION time, so this scopes shuffle-partition / AQE knobs to the
+    * jobs an operator materializes inside `body` — the only way Spark
+    * offers to give ONE operator's joins a different partitioning
+    * discipline than the session default. Not thread-safe across
+    * concurrently-executing queries on the same session (the driver
+    * contract runs queries sequentially).
+    */
+  def withConf[T](spark: SparkSession, entries: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = entries.map { case (k, _) => k -> conf.getOption(k) }
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 
   /** Lineage + STATS truncating checkpoint for SELF-MULTIPLYING round
     * plans (Louvain's move round references the labels frame ~6 times;

@@ -100,19 +100,54 @@ object Triangles {
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
   }
 
+  /** Build-map row budget per shuffle-hash task. The m100 wall (90M-edge
+    * build side, 8 GiB heap): AQE's parallelism-first partition
+    * coalescing re-fattens the per-task hash maps to m/32 rows ≈ 120 MB
+    * × 32 concurrent tasks and the execution pool OOMs — raising
+    * `spark.sql.shuffle.partitions` alone doesn't help because
+    * coalescing re-targets the thread count (measured to fail at 256
+    * partitions too). The fix is the pair scoped via [[joinConfs]]:
+    * enough partitions that a build map holds ≤ this many rows, AND
+    * coalescing OFF for those jobs so AQE cannot merge the maps fat
+    * again (a small size-first advisory was tried first and measured
+    * NONDETERMINISTIC at m100: the advisory meters serialized shuffle
+    * bytes, ~4× smaller than the in-memory maps, so 8 MB targets still
+    * produced ~1M-row builds that sat at the execution-pool edge).
+    * 256k edge rows ≈ 10–20 MB hashed; × 32 tasks ≈ 0.5 GiB of
+    * concurrent build memory at any heap.
+    */
+  private val BuildRowsPerTask = 256000L
+
+  /** The scoped conf set for the wedge-slice jobs. EMPTY at fixture
+    * scale (m ≤ budget × session partitions) so small graphs keep their
+    * session plans — and their measured budgets — unchanged; past that,
+    * partitions sized to the BUILD side and coalescing disabled.
+    */
+  private def joinConfs(m: Long, minParts: Int): Seq[(String, String)] =
+    if (m <= BuildRowsPerTask * minParts) Seq.empty
+    else Seq(
+      "spark.sql.shuffle.partitions" ->
+        ((m + BuildRowsPerTask - 1) / BuildRowsPerTask).toString,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+
   /** [[edgeSupport]] with the wedge volume BOUNDED — same rows, same
     * values, engineered for the measured mult=30 cliff where the W-row
     * wedge stream (W ≈ 26·m on the co-order graph) outgrows one box.
-    * Two disciplines compose:
+    * Three disciplines compose:
     *
-    *  1. '''Never sort the wedges.''' Both triangle joins carry a
-    *     `shuffle_hash` hint on the edge side: the W-row wedge stream is
-    *     probe-side only — it is written to shuffle files and streamed
-    *     back exactly once, while the hash maps are built from the m-row
-    *     edge list (m/partitions rows per map). The default sort-merge
-    *     plan instead externally SORTS all W rows on (a,c); at 704M
-    *     wedges that sort is a multi-pass disk merge — the 4.9×-for-3×
-    *     segment in the round-8 baseline.
+    *  1. '''Never sort the wedges.''' Both triangle joins are
+    *     shuffle-hash: the W-row wedge stream is probe-side only — it
+    *     is written to shuffle files and streamed back exactly once,
+    *     while the hash maps are built from bounded edge sets (the
+    *     m/slices-row slice for the wedge join, the m-row edge list for
+    *     the closure join). The default sort-merge plan instead
+    *     externally SORTS all W rows on (a,c); at 704M wedges that sort
+    *     is a multi-pass disk merge — the 4.9×-for-3× segment in the
+    *     round-8 baseline.
+    *  1b. '''Bound the build maps''' (the m100 wall): partitions scale
+    *     with the build side and AQE coalescing is disabled for the
+    *     slice jobs — see [[BuildRowsPerTask]] for the measured failure
+    *     mode this closes.
     *  2. '''Slice the wedge shuffle.''' When the oriented wedge count
     *     W = Σ_s d_out(d_out−1)/2 (computed exactly from one degree
     *     aggregate over the persisted oriented edges) exceeds
@@ -134,35 +169,53 @@ object Triangles {
   def edgeSupportBounded(edges: DataFrame,
       targetWedges: Long = 256000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    // SER, not deserialized: at m100 the 90M-row oriented cache's VALUES
+    // unroll (32 concurrent tasks each UnsafeRow.copy-ing its partition
+    // into the storage pool) transiently blows the 8 GiB heap — the
+    // serialized columnar path reserves incrementally and spills clean
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
     // exact wedge count from the oriented out-degrees — d(d−1) is even,
-    // so summing before the halving keeps everything in long arithmetic
-    val w = oriented.groupBy("s").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"))
-      .head().getLong(0) / 2
+    // so summing before the halving keeps everything in long arithmetic;
+    // the same pass yields m = Σd, the build-side row count
+    val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+        coalesce(sum("d"), lit(0L)).cast("long"))
+      .head()
+    val w = deg.getLong(0) / 2
+    val m = deg.getLong(1)
     val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
     val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
     val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
-    val parts = (0 until slices).map { i =>
-      val e1 = (if (slices == 1) oriented
-        else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
-        .select(col("s").as("a"), col("t").as("b"))
-      val tri = e1.join(e2.hint("shuffle_hash"), "b")
-        .join(e3.hint("shuffle_hash"), Seq("a", "c"))
-      val p = creditEdges(tri)
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize NOW — one slice's wedge shuffle live at a time
-      p
+    val out = Plans.withConf(spark, joinConfs(m, minParts): _*) {
+      val parts = (0 until slices).map { i =>
+        // hint the SLICE as the wedge join's build side — m/slices rows
+        // beats e2's m; the closure join's build side must stay e3 (the
+        // probe there is the W/slices-row wedge stream)
+        val e1 = (if (slices == 1) oriented
+          else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+          .select(col("s").as("a"), col("t").as("b"))
+        val tri = e1.hint("shuffle_hash").join(e2, "b")
+          .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+        val p = creditEdges(tri)
+          .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize NOW — one slice's wedge shuffle live at a time
+        p
+      }
+      val sup = parts.reduce(_ unionAll _)
+        .groupBy("u", "v").agg(sum("sup").as("sup"))
+      // the per-edge join output is O(m) — detach it from the cache so the
+      // slice partials and the oriented edges can be dropped immediately
+      val res = edges.join(sup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+        .localCheckpoint()
+      parts.foreach(_.unpersist(blocking = false))
+      res
     }
-    val sup = parts.reduce(_ unionAll _)
-      .groupBy("u", "v").agg(sum("sup").as("sup"))
-    // the per-edge join output is O(m) — detach it from the cache so the
-    // slice partials and the oriented edges can be dropped immediately
-    val out = edges.join(sup, Seq("u", "v"), "left")
-      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
-      .localCheckpoint()
-    (oriented +: parts).foreach(_.unpersist(blocking = false))
+    oriented.unpersist(blocking = false)
     out
   }
 
@@ -177,29 +230,43 @@ object Triangles {
   def perNodeBounded(edges: DataFrame,
       targetWedges: Long = 256000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val w = oriented.groupBy("s").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"))
-      .head().getLong(0) / 2
+    val spark = edges.sparkSession
+    // SER, not deserialized: at m100 the 90M-row oriented cache's VALUES
+    // unroll (32 concurrent tasks each UnsafeRow.copy-ing its partition
+    // into the storage pool) transiently blows the 8 GiB heap — the
+    // serialized columnar path reserves incrementally and spills clean
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+        coalesce(sum("d"), lit(0L)).cast("long"))
+      .head()
+    val w = deg.getLong(0) / 2
+    val m = deg.getLong(1)
     val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
     val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
     val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
-    val parts = (0 until slices).map { i =>
-      val e1 = (if (slices == 1) oriented
-        else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
-        .select(col("s").as("a"), col("t").as("b"))
-      val p = e1.join(e2.hint("shuffle_hash"), "b")
-        .join(e3.hint("shuffle_hash"), Seq("a", "c"))
-        .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize NOW — one slice's wedge shuffle live at a time
-      p
+    val out = Plans.withConf(spark, joinConfs(m, minParts): _*) {
+      val parts = (0 until slices).map { i =>
+        val e1 = (if (slices == 1) oriented
+          else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+          .select(col("s").as("a"), col("t").as("b"))
+        val p = e1.hint("shuffle_hash").join(e2, "b")
+          .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+          .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize NOW — one slice's wedge shuffle live at a time
+        p
+      }
+      val res = parts.reduce(_ unionAll _)
+        .groupBy("id").agg(sum("n_triangles").as("n_triangles"))
+        .localCheckpoint()
+      parts.foreach(_.unpersist(blocking = false))
+      res
     }
-    val out = parts.reduce(_ unionAll _)
-      .groupBy("id").agg(sum("n_triangles").as("n_triangles"))
-      .localCheckpoint()
-    (oriented +: parts).foreach(_.unpersist(blocking = false))
+    oriented.unpersist(blocking = false)
     out
   }
 }

@@ -149,6 +149,35 @@ object Streams {
       .groupBy(col(key))
       .agg(expr(s"kll_merge_agg_double(sk, $k)").as("sk"))
 
+  // ---- ST-32 incremental theta-sketch set-algebra rollup ---------------------
+  /** Per-key theta sketch of one micro-batch's `value` identities — the
+    * ST-31 blob-fold discipline applied to E-469/E-473's SET algebra:
+    * each batch collapses to one theta blob per key before touching the
+    * running state, so the fold input is sketch-sized and the state is
+    * O(keys · sketch) forever. Unlike KLL, theta union is IDEMPOTENT on
+    * re-observed identities (a set, not a multiset), so replaying the
+    * same rows twice leaves the folded state identical — and every
+    * intersection/difference/overlap question is answered from the
+    * folded blobs without re-scanning the stream (the 100 TB audience-
+    * overlap pattern, now with streaming ingest).
+    */
+  def thetaBatchState(batch: DataFrame, key: String, value: String): DataFrame =
+    batch.withColumn("__graft_theta_v", col(value))
+      .groupBy(col(key))
+      .agg(expr("theta_sketch_agg(__graft_theta_v)").as("sk"))
+
+  /** Fold one batch's theta state into the running state:
+    * `theta_union_agg` over the union — associative, commutative, and
+    * idempotent on identities, so the micro-batch replay must agree
+    * with a one-pass batch sketch exactly (hash-deterministic blobs;
+    * gated within E-469's 5% estimate bounds in StreamingSpec ST-32,
+    * exact below the sketch's exact-mode threshold).
+    */
+  def thetaMergeState(prev: DataFrame, cur: DataFrame, key: String): DataFrame =
+    prev.unionByName(cur)
+      .groupBy(col(key))
+      .agg(expr("theta_union_agg(sk)").as("sk"))
+
   // ---- ST-6 stream-static join -------------------------------------------
   def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(broadcast(customers),

@@ -191,7 +191,8 @@ object ScaleProbe {
     // bounded shuffle-hash plan) without paying for the whole graph
     // battery; `out` = histogram rows (scale-stable support domain)
     val (res, tQ) = timed { graft.SparkEntry.queries("ext_trussup")(spark, dir).collect() }
-    println(f"SCALEPROBE ext_trussup rows=$nDocs out=${res.length} sec=$tQ%.2f")
+    println(f"SCALEPROBE ext_trussup rows=$nDocs out=${res.length} sec=$tQ%.2f " +
+      s"heap=${Runtime.getRuntime.maxMemory() / (1024 * 1024)}m")
     }
     family("dupspan") {
     // dupspan: the substring-dedup inverted index — `out` = number of

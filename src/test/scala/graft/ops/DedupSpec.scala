@@ -66,6 +66,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"missed: ${(exactHalf -- found).take(5)}...; spurious: ${(found -- exactHalf).take(5)}")
   }
 
+  test("band-group-sliced LSH candidates equal the single-join candidate set") {
+    // the m100 working-set discipline: bands processed in eager groups
+    // with per-group persist/unpersist. A pair qualifies iff SOME band
+    // bucket matches, and band partitioning is exact, so the union of
+    // per-group candidates must be SET-EQUAL to the single self-join —
+    // forced here by a tiny row budget (docs × 64 bands ≫ 1000)
+    val hset = sort_array(transform(
+      array_distinct(split(col("text"), " ")), e => xxhash64(e)))
+    def cands(target: Long): Set[(Long, Long)] =
+      Dedup.minhashCandidatesFromHashedSets(docs, "doc_id", hset,
+          bands = 64, rowsPerBand = 2, targetBandedRows = target)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = cands(Long.MaxValue)
+    val sliced = cands(1000L)
+    assert(single.nonEmpty)
+    assert(sliced == single,
+      s"missed: ${(single -- sliced).take(5)}; spurious: ${(sliced -- single).take(5)}")
+  }
+
   test("set-graph nearDupComponents equals member-graph clustering over expanded pairs") {
     import org.apache.spark.sql.functions._
     val setCol = Dedup.tokenSet(col("text"))

@@ -970,6 +970,68 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(misses.isEmpty, s"rank gate missed: ${misses.mkString("; ")}")
   }
 
+  test("ST-32 foreachBatch theta rollup: idempotent fold, set algebra from state") {
+    // The streaming face of E-469/E-473: each micro-batch collapses to
+    // one theta blob per event_type (thetaBatchState) folded with
+    // theta_union_agg (thetaMergeState). Theta union is IDEMPOTENT on
+    // identities, so streaming the fixture TWICE must land on the same
+    // per-key distinct-user estimates as one batch pass over a single
+    // copy — and the intersection question (users doing both clicks
+    // and views) is answered from the folded blobs alone. Gates are
+    // E-469's 5% bounds; the fixture key domains sit below the theta
+    // exact-mode threshold, so estimates are hash-deterministic.
+    val tmp = Files.createTempDirectory("events_theta")
+    val src = Paths.get(s"$sf0001/events.parquet")
+    Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    var batches = 0
+    val q = Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        val s = Streams.thetaBatchState(batch, "event_type", "user_id")
+        val merged = Option(state.get)
+          .fold(s)(prev => Streams.thetaMergeState(prev, s, "event_type"))
+        import scala.jdk.CollectionConverters._
+        state.set(spark.createDataFrame(
+          merged.collect().toSeq.asJava, merged.schema))
+        ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    // O(groups) state pin: one blob per event_type, nothing else
+    val nTypes = batchEvents.select("event_type").distinct().count()
+    assert(state.get.count() == nTypes,
+      s"theta state ${state.get.count()} rows != key domain $nTypes (O(groups) bound)")
+    // per-key estimates vs exact distinct users of a SINGLE fixture copy
+    // (idempotence: the doubled replay must not inflate the sets)
+    val gate = state.get
+      .select(col("event_type"),
+        expr("theta_sketch_estimate(sk)").as("est"))
+      .join(batchEvents.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact")), "event_type")
+    val offKey = gate.filter(
+      abs(col("est") - col("exact")) > col("exact") * 0.05).collect()
+    assert(offKey.isEmpty, s"per-key estimate off >5%: ${offKey.mkString("; ")}")
+    // set algebra read purely from the folded state: |click ∩ view|
+    val inter = state.get.groupBy()
+      .pivot("event_type", Seq("click", "view"))
+      .agg(first("sk"))
+      .select(expr("theta_sketch_estimate(theta_intersection(click, view))")
+        .cast("double").as("e_and"))
+      .head().getDouble(0)
+    val exactInter = batchEvents.filter(col("event_type") === "click")
+      .select("user_id").distinct()
+      .intersect(batchEvents.filter(col("event_type") === "view")
+        .select("user_id").distinct())
+      .count()
+    assert(exactInter > 0, "fixture lost its click∩view overlap")
+    assert(math.abs(inter - exactInter) <= exactInter * 0.05,
+      s"intersection estimate $inter vs exact $exactInter")
+  }
+
   test("ST-8 stream-stream interval join equals batch interval join") {
     val src = Streams.readEvents(spark, eventsDir)
     val got = replay(Streams.clickViewJoin(src), "append")
