@@ -194,6 +194,14 @@ object ScaleProbe {
     println(f"SCALEPROBE ext_trussup rows=$nDocs out=${res.length} sec=$tQ%.2f " +
       s"heap=${Runtime.getRuntime.maxMemory() / (1024 * 1024)}m")
     }
+    family("clust") {
+    // solo clustcoef (round 11): identical wedge volume to trussup
+    // (W ≈ 2.35B at m100), so the same build-map/cache fixes must close
+    // it at the default heap too — measured here, not assumed
+    val (res, tQ) = timed { graft.SparkEntry.queries("ext_clustcoef")(spark, dir).collect() }
+    println(f"SCALEPROBE ext_clustcoef rows=$nDocs out=${res.length} sec=$tQ%.2f " +
+      s"heap=${Runtime.getRuntime.maxMemory() / (1024 * 1024)}m")
+    }
     family("dupspan") {
     // dupspan: the substring-dedup inverted index — `out` = number of
     // 5-grams shared by ≥2 docs (the index's hot partition volume;
