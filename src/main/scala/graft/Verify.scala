@@ -19,6 +19,37 @@ object Verify {
     // (never set by the driver — full run remains the default).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    // Atomic file write: temp file in the same dir, then ATOMIC_MOVE — a
+    // crash mid-write can never leave a truncated JSON the driver's
+    // json.load would choke on (round 11's CORRECTNESS arrived empty;
+    // every artifact here is now either absent or complete).
+    def writeAtomic(path: String, content: String): Unit = {
+      val target = Paths.get(path)
+      val tmp = Files.createTempFile(target.getParent, ".tmp_", ".json")
+      Files.writeString(tmp, content)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // oracle_sql.json is written FIRST, before any query runs: if the run
+    // dies mid-loop (OOM, driver timeout) the oracle map still exists and
+    // the partial parquet dirs remain individually comparable.
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    writeAtomic(s"$outDir/oracle_sql.json", json)
     // A failed query must surface as an explicit error artifact, never as
     // silent absence from the output dir (round 5 lost 33 queries to a
     // loader exception that only reached stderr).
@@ -37,24 +68,8 @@ object Verify {
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    writeAtomic(s"$outDir/_errors.json", errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     // teardown: the DDL/MERGE contract queries create managed graft_*
@@ -75,6 +90,14 @@ object Verify {
     }
     val vd = new java.io.File(whDir + "/graft_versioned_demo")
     if (vd.exists) org.apache.commons.io.FileUtils.deleteDirectory(vd)
+    // Completion marker: present ⇔ every selected query was attempted and
+    // its result (or error entry) written. The driver/judge can distinguish
+    // "run finished with N results" from "run died after N results".
+    writeAtomic(s"$outDir/_SUCCESS.json",
+      s"""{"queries": ${selected.size}, "errors": ${errors.size}}""")
     spark.stop()
+    // Nonzero-exit discipline: a round where any query threw must be
+    // loudly red at the process level, not just a stderr line.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

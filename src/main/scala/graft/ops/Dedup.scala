@@ -131,8 +131,18 @@ object Dedup {
     * where a single join would thrash regardless of partition count.
     * `SPARK_GRAFT_LSH_TARGET` overrides (the cluster knob surface).
     */
-  private val TargetBandedRows: Long =
-    sys.env.get("SPARK_GRAFT_LSH_TARGET").map(_.toLong).getOrElse(64000000L)
+  private val TargetBandedRows: Long = sys.env.get("SPARK_GRAFT_LSH_TARGET") match {
+    case Some(s) =>
+      // parse defensively: a malformed or non-positive override must fall
+      // back with a warning, never throw ExceptionInInitializerError out
+      // of this object (obscuring the cause) or divide-by-zero later
+      scala.util.Try(s.trim.toLong).toOption.filter(_ > 0L).getOrElse {
+        System.err.println(
+          s"[graft] SPARK_GRAFT_LSH_TARGET='$s' invalid (want a positive long); using default 64000000")
+        64000000L
+      }
+    case None => 64000000L
+  }
 
   /** [[minhashCandidatesFromSets]] over a set whose elements are ALREADY
     * xxhash64-hashed to longs. Signatures are bit-identical to the
@@ -170,8 +180,12 @@ object Dedup {
     val spark = docs.sparkSession
     val nSets = withSig.count()
     val bandedRows = nSets * bands
+    // overflow-safe ceiling division: the additive form
+    // (bandedRows + target - 1) / target wraps when target is near
+    // Long.MaxValue (DedupSpec's single-join arm passes exactly that)
     val groups = math.min(bands.toLong,
-      math.max(1L, (bandedRows + targetBandedRows - 1) / targetBandedRows)).toInt
+      if (bandedRows <= targetBandedRows) 1L
+      else 1L + (bandedRows - 1) / targetBandedRows).toInt
     val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .fold(32)(_.toInt)
     val liveRows = bandedRows / groups
@@ -181,25 +195,32 @@ object Dedup {
         "spark.sql.shuffle.partitions" ->
           math.max(minParts, (liveRows / 250000L).toInt).toString,
         "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    if (groups == 1 && scaleConfs.isEmpty) pairsForBands(0, bands)
-    else Plans.withConf(spark, scaleConfs: _*) {
-      // contiguous band ranges, processed EAGERLY one at a time so only
-      // one group's banded shuffle is live; per-group pairs are ≤ the
-      // true candidate set, so the partials are output-sized
-      val cuts = (0 to groups).map(g => (g.toLong * bands / groups).toInt)
-      val parts = (0 until groups).map { g =>
-        val p = pairsForBands(cuts(g), cuts(g + 1))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        p.count()
-        p
+    // Both paths materialize eagerly (localCheckpoint: RDD blocks, cleaned
+    // by the ContextCleaner once unreachable — unlike a CacheManager entry)
+    // so withSig can be unpersisted symmetrically; without this the lazy
+    // path leaked one cached signature frame per call and re-ran the
+    // banded join per downstream consumer.
+    val out =
+      if (groups == 1 && scaleConfs.isEmpty) pairsForBands(0, bands).localCheckpoint()
+      else Plans.withConf(spark, scaleConfs: _*) {
+        // contiguous band ranges, processed EAGERLY one at a time so only
+        // one group's banded shuffle is live; per-group pairs are ≤ the
+        // true candidate set, so the partials are output-sized
+        val cuts = (0 to groups).map(g => (g.toLong * bands / groups).toInt)
+        val parts = (0 until groups).map { g =>
+          val p = pairsForBands(cuts(g), cuts(g + 1))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          p
+        }
+        val merged = (if (groups == 1) parts.head
+          else parts.reduce(_ unionAll _).distinct())
+          .localCheckpoint()
+        parts.foreach(_.unpersist(blocking = false))
+        merged
       }
-      val out = (if (groups == 1) parts.head
-        else parts.reduce(_ unionAll _).distinct())
-        .localCheckpoint()
-      parts.foreach(_.unpersist(blocking = false))
-      withSig.unpersist(blocking = false)
-      out
-    }
+    withSig.unpersist(blocking = false)
+    out
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard recheck: candidates

@@ -114,7 +114,12 @@ object ExtensionQueries127 {
         coalesce(col("c"), lit(0L)).as("cs"))
     val terms = grid
       .withColumn("p", col("cs").cast("double") / col("ns"))
-      .withColumn("q", (col("ct") - col("cs")).cast("double") / (lit(n) - col("ns")))
+      // degenerate guard: when one source comprises the whole corpus
+      // (n == ns) the complement is empty — define q = 0 explicitly on
+      // BOTH engines (Spark's Divide yields NULL on /0, DuckDB differs)
+      .withColumn("q", when(lit(n) =!= col("ns"),
+        (col("ct") - col("cs")).cast("double") / (lit(n) - col("ns")))
+        .otherwise(lit(0.0)))
       .withColumn("m", (col("p") + col("q")) / 2)
       .select(col("source"), col("ns"),
         (when(col("p") > 0, round(col("p") * log(col("p") / col("m")) * 1e9)
@@ -180,7 +185,8 @@ object ExtensionQueries127 {
         |terms as (
         |  select source, ns,
         |    cast(cs as double) / ns p,
-        |    cast(ct - cs as double) / (nn.n - ns) q
+        |    case when nn.n = ns then 0
+        |      else cast(ct - cs as double) / (nn.n - ns) end q
         |  from grid, nn),
         |qterms as (
         |  select source, ns,

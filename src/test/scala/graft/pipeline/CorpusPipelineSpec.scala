@@ -52,6 +52,35 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       b.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("span-dedup stage rewrites survivors' text without changing row counts") {
+    import spark.implicits._
+    // two docs sharing an 18-token span but with LOW token-set Jaccard
+    // (disjoint filler dominates the union), so whole-doc near-dedup
+    // keeps both — exactly the case the span stage exists for
+    // letter-only filler: the funnel's scrub stage rewrites digits
+    def w(p: String, n: Int): Seq[String] =
+      (0 until n).map(i => p + ('a' + i / 26).toChar + ('a' + i % 26).toChar)
+    val shared = w("sh", 18)
+    val d1 = (w("a", 40) ++ shared).mkString(" ")
+    val d2 = (shared ++ w("b", 40)).mkString(" ")
+    val crafted = Seq((1L, d1), (2L, d2),
+      (9L, "plain filler document about rivers and ducks and reeds"))
+      .toDF("doc_id", "text")
+    val (off, rOff) = new CorpusPipeline(nearDupThreshold = 0.9).run(crafted)
+    val (on, rOn) = new CorpusPipeline(nearDupThreshold = 0.9,
+      spanDedupMinTokens = Some(15)).run(crafted)
+    assert(rOff.spanRewritten == 0L)
+    assert(rOn.output == rOff.output && rOn.output == 3,
+      "span stage is a rewrite, never a filter")
+    assert(rOn.spanRewritten == 1L, s"one doc rewritten, got ${rOn.spanRewritten}")
+    def text(df: org.apache.spark.sql.DataFrame, id: Long): String =
+      df.filter(col("doc_id") === id).select("text").head().getString(0)
+    assert(text(on, 1L) == text(off, 1L), "canonical copy untouched")
+    assert(text(on, 2L) == w("b", 40).mkString(" "),
+      "doc 2 must lose exactly the shared span")
+    off.unpersist(); on.unpersist()
+  }
+
   test("near-dedup is cluster-based: transitive chains keep only the minimum") {
     import spark.implicits._
     // 1 ~ 3 (jac 6/12 = 0.5) and 2 ~ 3 (0.5), but 1 !~ 2 (0.0): the

@@ -845,12 +845,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-    var batches = 0
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val updates = batch.select("user_id", "value", "ts", "event_id")
-        batches += 1
+        batches.incrementAndGet()
         val merged = graft.ops.Upsert.latestPerKey(
           Option(state.get).fold(updates)(_.unionByName(updates)),
           "user_id", Seq(col("ts"), col("event_id")))
@@ -862,7 +862,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       }
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
-    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    assert(batches.get >= 2, s"expected a multi-batch replay, got ${batches.get}")
     val expected = graft.ops.Upsert.latestPerKey(
       batchEvents.select("user_id", "value", "ts", "event_id"),
       "user_id", Seq(col("ts"), col("event_id")))
@@ -886,11 +886,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-    var batches = 0
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batches += 1
+        batches.incrementAndGet()
         val s = graft.ops.IncrementalAgg.state(batch,
           col("user_id") % 10, col("value"))
         val merged = Option(state.get)
@@ -902,7 +902,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       }
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
-    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    assert(batches.get >= 2, s"expected a multi-batch replay, got ${batches.get}")
     // both fixture copies stream through, so the expected one-pass
     // state is over the DOUBLED events
     val expected = graft.ops.IncrementalAgg.state(
@@ -929,11 +929,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-    var batches = 0
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batches += 1
+        batches.incrementAndGet()
         val s = Streams.kllBatchState(batch, "event_type", "value")
         val merged = Option(state.get)
           .fold(s)(prev => Streams.kllMergeState(prev, s, "event_type"))
@@ -944,7 +944,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       }
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
-    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    assert(batches.get >= 2, s"expected a multi-batch replay, got ${batches.get}")
     // duplicating every value leaves the quantiles of the multiset
     // unchanged, so the exact side can aggregate the single fixture
     val nTypes = batchEvents.select("event_type").distinct().count()
@@ -985,11 +985,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     Files.copy(src, tmp.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, tmp.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-    var batches = 0
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = Streams.readEvents(spark, tmp.toString, maxFilesPerTrigger = Some(1))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batches += 1
+        batches.incrementAndGet()
         val s = Streams.thetaBatchState(batch, "event_type", "user_id")
         val merged = Option(state.get)
           .fold(s)(prev => Streams.thetaMergeState(prev, s, "event_type"))
@@ -1000,7 +1000,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       }
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
-    assert(batches >= 2, s"expected a multi-batch replay, got $batches")
+    assert(batches.get >= 2, s"expected a multi-batch replay, got ${batches.get}")
     // O(groups) state pin: one blob per event_type, nothing else
     val nTypes = batchEvents.select("event_type").distinct().count()
     assert(state.get.count() == nTypes,
