@@ -11,11 +11,19 @@ import org.apache.spark.sql.functions._
   * nothing the result has converged — the gated query's graph converges
   * in 2 rounds).
   *
-  * Per round: two semi-joins restrict the edge list to live endpoints,
-  * one count aggregate recomputes degrees — all equi-joins keyed by
-  * node id, one shuffle each, lineage truncated per round like
-  * [[PageRank]]/[[Bfs]]. Never materializes anything denser than the
-  * edge list.
+  * INCREMENTAL rounds (round 12, the k-truss delta discipline applied
+  * here): the edge list is persisted once and degrees are maintained,
+  * not recomputed — peeling node set P only changes a survivor's degree
+  * by its edge count INTO P, so each round is one keyed join of the
+  * edge list against the (small) peeled delta plus an O(nodes) degree
+  * rewrite. Equivalent by induction: deg_r(v) = deg_{r−1}(v) − |{(v,p):
+  * p ∈ P_r}| equals v's degree among round-r survivors, because every
+  * peeled neighbor is subtracted exactly once, in the round it leaves.
+  * (The previous form re-derived the edge list from its source and
+  * re-counted degrees under two semi-joins EVERY round — measured 4.4 s
+  * at sf0.1 for 3 rounds; the delta form does one derivation pass and
+  * three cheap decrement joins.) Never materializes anything denser
+  * than the edge list.
   */
 object KCore {
 
@@ -25,23 +33,31 @@ object KCore {
     * counts mean the fixpoint (the true k-core) was reached.
     */
   def peelRounds(edges: DataFrame, k: Long, rounds: Int): Seq[DataFrame] = {
-    var nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // full degrees: every node of a bidirected edge list appears as src,
+    // so the degree frame covers exactly the src ∪ dst node set
+    var deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
       .localCheckpoint()
-    var out = Vector(nodes)
+    var out = Vector(deg.select("id"))
     var r = 0
     while (r < rounds) {
-      nodes = edges
-        .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("id"))
+      val peeled = deg.filter(col("deg") < k).select(col("id").as("dst"))
+      val survivors = deg.filter(col("deg") >= k)
+      // degree decrement: edges whose dst was peeled this round, counted
+      // per surviving src — the only degrees that change
+      val delta = e.join(peeled, Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("d"))
+        .select(col("src").as("id"), col("d"))
+      deg = survivors.join(delta, Seq("id"), "left")
+        .select(col("id"),
+          (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
         .localCheckpoint()
-      out :+= nodes
+      out :+= deg.select("id")
       r += 1
     }
+    e.unpersist(blocking = false)
     out
   }
 

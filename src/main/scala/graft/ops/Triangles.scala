@@ -73,7 +73,7 @@ object Triangles {
     * W-row wedge join once per branch (measured 3.3× the census cost at
     * sf3). One explode = one triangle enumeration.
     */
-  private def creditEdges(tri: DataFrame): DataFrame =
+  private[ops] def creditEdges(tri: DataFrame): DataFrame =
     tri.select(explode(array(
       struct(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v")),
@@ -214,6 +214,117 @@ object Triangles {
         .localCheckpoint()
       parts.foreach(_.unpersist(blocking = false))
       res
+    }
+    oriented.unpersist(blocking = false)
+    out
+  }
+
+  /** [[triangleList]] MATERIALIZED under the same wedge disciplines as
+    * [[edgeSupportBounded]] (shuffle-hash streamed wedges, eager
+    * ⌈W/target⌉ hash-slices of the wedge source): returns the exact
+    * once-per-triangle (a, b, c) list as an eagerly-persisted frame the
+    * caller must unpersist. Unlike the support pass, the output here is
+    * inherently O(T) — callers that only need per-edge aggregates should
+    * use [[edgeSupportBounded]]; this exists for consumers that maintain
+    * triangle state INCREMENTALLY across peel rounds (k-truss), where
+    * re-enumerating W wedges per round is the measured bottleneck.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    */
+  def triangleListBounded(edges: DataFrame,
+      targetWedges: Long = 256000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+        coalesce(sum("d"), lit(0L)).cast("long"))
+      .head()
+    val w = deg.getLong(0) / 2
+    val m = deg.getLong(1)
+    val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    val out = Plans.withConf(spark, joinConfs(m, minParts): _*) {
+      val parts = (0 until slices).map { i =>
+        val e1 = (if (slices == 1) oriented
+          else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+          .select(col("s").as("a"), col("t").as("b"))
+        val p = e1.hint("shuffle_hash").join(e2, "b")
+          .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+          .select("a", "b", "c")
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        p.count() // materialize NOW — one slice's wedge shuffle live at a time
+        p
+      }
+      val res = (if (slices == 1) parts.head
+        else {
+          val u = parts.reduce(_ unionAll _)
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          u.count()
+          parts.foreach(_.unpersist(blocking = false))
+          u
+        })
+      res
+    }
+    oriented.unpersist(blocking = false)
+    out
+  }
+
+  /** The 3-per-triangle credit list — (a, b, c, u, v): triangle identity
+    * plus each credited edge canonicalized to u < v — materialized under
+    * the same wedge disciplines, with the explode FUSED into the slice
+    * pass (never a separate O(T) triangle-list cache). This is the
+    * immutable probe structure incremental k-truss peeling runs on.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    */
+  def creditListBounded(edges: DataFrame,
+      targetWedges: Long = 256000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+        coalesce(sum("d"), lit(0L)).cast("long"))
+      .head()
+    val w = deg.getLong(0) / 2
+    val m = deg.getLong(1)
+    val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    val out = Plans.withConf(spark, joinConfs(m, minParts): _*) {
+      val parts = (0 until slices).map { i =>
+        val e1 = (if (slices == 1) oriented
+          else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+          .select(col("s").as("a"), col("t").as("b"))
+        val p = e1.hint("shuffle_hash").join(e2, "b")
+          .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+          .select(col("a"), col("b"), col("c"), explode(array(
+            struct(least(col("a"), col("b")).as("u"),
+              greatest(col("a"), col("b")).as("v")),
+            struct(least(col("b"), col("c")).as("u"),
+              greatest(col("b"), col("c")).as("v")),
+            struct(least(col("a"), col("c")).as("u"),
+              greatest(col("a"), col("c")).as("v")))).as("e"))
+          .select(col("a"), col("b"), col("c"),
+            col("e.u").as("u"), col("e.v").as("v"))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        p.count() // materialize NOW — one slice's wedge shuffle live at a time
+        p
+      }
+      if (slices == 1) parts.head
+      else {
+        val u = parts.reduce(_ unionAll _)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        u.count()
+        parts.foreach(_.unpersist(blocking = false))
+        u
+      }
     }
     oriented.unpersist(blocking = false)
     out

@@ -194,6 +194,17 @@ object ScaleProbe {
     println(f"SCALEPROBE ext_trussup rows=$nDocs out=${res.length} sec=$tQ%.2f " +
       s"heap=${Runtime.getRuntime.maxMemory() / (1024 * 1024)}m")
     }
+    family("ktruss") {
+    // incremental peel (round 12): one triangle enumeration total, then
+    // delta joins per round — `out` = trace rows (peel depth + fixpoint)
+    val (res, tQ) = timed {
+      graft.ops.ExtensionQueries124.ktrussTrace(spark, dir,
+        maxRounds = graft.ops.ExtensionQueries124.MaxRounds).collect()
+    }
+    println(f"SCALEPROBE ext_ktruss rows=$nDocs out=${res.length} sec=$tQ%.2f " +
+      s"heap=${Runtime.getRuntime.maxMemory() / (1024 * 1024)}m " +
+      s"trace=${res.map(r => r.getLong(1)).mkString(",")}")
+    }
     family("clust") {
     // solo clustcoef (round 11): identical wedge volume to trussup
     // (W ≈ 2.35B at m100), so the same build-map/cache fixes must close
