@@ -76,6 +76,25 @@ object ConnectedComponents {
     m
   }
 
+  /** Per-round sort-buffer budget: symmetric edge rows per shuffle
+    * task. Round 1's hash-min groupBy and contraction joins shuffle the
+    * FULL symmetric edge list; past `budget × session partitions` rows,
+    * AQE's parallelism-first coalescing re-fattens per-task sorts the
+    * same way it fattened trussup's build maps (the round-11 m100
+    * lesson) — so the round's jobs run under scoped confs (partitions
+    * sized to the live edge count, coalescing off), recomputed per
+    * round as the graph contracts. Empty below the threshold: fixture
+    * plans stay byte-identical.
+    */
+  private val EdgeRowsPerTask = 1000000L
+
+  private def roundConfs(m: Long, minParts: Int): Seq[(String, String)] =
+    if (m <= EdgeRowsPerTask * minParts) Seq.empty
+    else Seq(
+      "spark.sql.shuffle.partitions" ->
+        ((m + EdgeRowsPerTask - 1) / EdgeRowsPerTask).toString,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+
   /** Connected components of the graph given by `edges` (columns
     * `src`, `dst`, any integral type). Returns (node LONG,
     * component LONG) for every node incident to at least one edge,
@@ -83,6 +102,9 @@ object ConnectedComponents {
     * wanting singleton components union their isolated ids back in.
     */
   def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
     val sym0 = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -95,28 +117,32 @@ object ConnectedComponents {
       .localCheckpoint()
 
     var it = 0
-    var done = graph.isEmpty
+    var m = graph.count()
+    var done = m == 0
     while (!done && it < maxIter) {
-      // 1. hash-min (graph is symmetric, so every node appears as u)
-      val l1 = graph.groupBy("u").agg(min("v").as("m"))
-        .select(col("u").as("n"), least(col("u"), col("m")).as("lbl"))
-      // 2. compress the pointer forest to its roots
-      val l = compress(l1)
-      // 4. compose into the original-node label table (left join:
-      //    already-settled labels absent from this round's graph stay)
-      labels = labels
-        .join(l.select(col("n").as("label"), col("lbl")), Seq("label"), "left")
-        .select(col("node"), coalesce(col("lbl"), col("label")).as("label"))
-        .localCheckpoint()
-      // 3. contract the graph through the same map
-      val g2 = graph
-        .join(l.select(col("n").as("u"), col("lbl").as("lu")), "u")
-        .join(l.select(col("n").as("v"), col("lbl").as("lv")), "v")
-        .select(col("lu").as("u"), col("lv").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
-      done = g2.isEmpty
+      val g2 = Plans.withConf(spark, roundConfs(m, minParts): _*) {
+        // 1. hash-min (graph is symmetric, so every node appears as u)
+        val l1 = graph.groupBy("u").agg(min("v").as("m"))
+          .select(col("u").as("n"), least(col("u"), col("m")).as("lbl"))
+        // 2. compress the pointer forest to its roots
+        val l = compress(l1)
+        // 4. compose into the original-node label table (left join:
+        //    already-settled labels absent from this round's graph stay)
+        labels = labels
+          .join(l.select(col("n").as("label"), col("lbl")), Seq("label"), "left")
+          .select(col("node"), coalesce(col("lbl"), col("label")).as("label"))
+          .localCheckpoint()
+        // 3. contract the graph through the same map
+        graph
+          .join(l.select(col("n").as("u"), col("lbl").as("lu")), "u")
+          .join(l.select(col("n").as("v"), col("lbl").as("lv")), "v")
+          .select(col("lu").as("u"), col("lv").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint()
+      }
+      m = g2.count()
+      done = m == 0
       graph = g2
       it += 1
     }

@@ -39,11 +39,15 @@ object ExtensionQueries34 {
     val wedge = deg.agg(count(lit(1)).as("n_nodes"),
       (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))
-    val tri = Triangles.triangleList(edges).agg(count(lit(1)).as("n_triangles"))
-    wedge.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+    // bounded triangle count (round 12): the unbounded triangleList agg
+    // sorts W wedge rows under the default SMJ plan — at the battery's
+    // wedge volumes that is the trussup wall all over again; the sliced
+    // shuffle-hash count is the same integer with the same disciplines
+    val tri = Triangles.triangleCountBounded(edges)
+    wedge.crossJoin(broadcast(ne))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        round(col("n_triangles").cast("double") * 3 / col("n_wedges"), 6)
+        lit(tri).as("n_triangles"),
+        round(lit(tri).cast("double") * 3 / col("n_wedges"), 6)
           .as("transitivity"))
   }
 

@@ -273,6 +273,44 @@ object Triangles {
     out
   }
 
+  /** Exact global triangle COUNT under the full wedge disciplines
+    * (shuffle-hash streamed wedges, bounded build maps, eager wedge
+    * slices) — for consumers that need only the scalar (global
+    * transitivity, closure ratios): no credit explode, no output
+    * materialization, each slice counts its closure rows directly.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    */
+  def triangleCountBounded(edges: DataFrame,
+      targetWedges: Long = 256000000L): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+        coalesce(sum("d"), lit(0L)).cast("long"))
+      .head()
+    val w = deg.getLong(0) / 2
+    val m = deg.getLong(1)
+    val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    val total = Plans.withConf(spark, joinConfs(m, minParts): _*) {
+      (0 until slices).map { i =>
+        val e1 = (if (slices == 1) oriented
+          else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+          .select(col("s").as("a"), col("t").as("b"))
+        e1.hint("shuffle_hash").join(e2, "b")
+          .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+          .count()
+      }.sum
+    }
+    oriented.unpersist(blocking = false)
+    total
+  }
+
   /** The 3-per-triangle credit list — (a, b, c, u, v): triangle identity
     * plus each credited edge canonicalized to u < v — materialized under
     * the same wedge disciplines, with the explode FUSED into the slice

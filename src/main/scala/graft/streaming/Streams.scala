@@ -872,6 +872,89 @@ object Streams {
       }
   }
 
+  /** ST-24 PRODUCTION shape (round 12): all four 16-bit simhash
+    * segments run as PARALLEL band filters and the drops are OR'd —
+    * the batch pigeonhole discipline (any pair within Hamming < 4
+    * shares some identical segment; wider radii gain recall
+    * probabilistically per extra band) applied at ingestion. Each
+    * (band, segment-value) bucket runs the ST-24 sequential fold with
+    * its own band-local kept set; a doc is globally kept iff NO band
+    * found a kept near-dup. Band-local kept sets mean transitive
+    * chains collapse like the batch nearDupComponents discipline: if
+    * a~b in band 0 and b~c in band 2 (a≁c), b keeps representing its
+    * band-2 bucket even though b itself was dropped, so c drops too —
+    * one canonical survivor per chain.
+    *
+    * Two stateful operators chain in one query (Append-mode
+    * flatMapGroupsWithState → per-doc aggregation): each doc's four
+    * band verdicts derive from the same input row, so they land in the
+    * same micro-batch and the OR emits exactly once per doc. State is
+    * one row per occupied (band, segment) bucket — 4× the single-band
+    * state, same O(distinct content) asymptote.
+    */
+  def nearDupFilterMultiBand(docs: DataFrame,
+      maxHamming: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    nearDupPrepBands(docs)
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[NearDupState, NearDupOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[NearDupState]) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          var kept = state.getOption.map(_.kept.toVector).getOrElse(Vector.empty[Long])
+          val out = sorted.map { case (id, sh, _) =>
+            val dup = kept.exists(k => java.lang.Long.bitCount(k ^ sh) <= maxHamming)
+            if (!dup) kept = kept :+ sh
+            NearDupOut(id, sh, !dup)
+          }
+          state.update(NearDupState(kept.toArray))
+          out.iterator
+      }
+      .groupBy("doc_id")
+      .agg(min("simhash").as("simhash"), expr("bool_and(kept)").as("kept"))
+  }
+
+  /** The batch formulation of the multi-band OR — its replay anchor:
+    * the same per-(band, segment) sequential folds, OR'd per doc.
+    */
+  def nearDupFilterMultiBandBatch(docs: DataFrame,
+      maxHamming: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    nearDupPrepBands(docs)
+      .groupByKey(_._3)
+      .flatMapGroups { (_, rows) =>
+        val sorted = rows.toSeq.sortBy(_._1)
+        var kept = Vector.empty[Long]
+        sorted.map { case (id, sh, _) =>
+          val dup = kept.exists(k => java.lang.Long.bitCount(k ^ sh) <= maxHamming)
+          if (!dup) kept = kept :+ sh
+          NearDupOut(id, sh, !dup)
+        }.iterator
+      }
+      .groupBy("doc_id")
+      .agg(min("simhash").as("simhash"), expr("bool_and(kept)").as("kept"))
+  }
+
+  /** One row per (doc, band): group key = band << 16 | segment value. */
+  private def nearDupPrepBands(docs: DataFrame): Dataset[(Long, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        call_function("simhash64",
+          filter(split(col("text"), " "), t => t =!= "")).as("sh"))
+      .select(col("doc_id"), col("sh"), explode(transform(
+        sequence(lit(0L), lit(3L)), b =>
+          shiftleft(b, 16).bitwiseOR(
+            call_function("shiftrightunsigned", col("sh"), (b * 16).cast("int"))
+              .bitwiseAND(lit(0xFFFFL))))).as("key"))
+      .as[(Long, Long, Long)]
+  }
+
   /** The batch formulation of the same fold — ST-24's replay anchor. */
   def nearDupFilterBatch(docs: DataFrame, maxHamming: Int = 12): Dataset[NearDupOut] = {
     val spark = docs.sparkSession
