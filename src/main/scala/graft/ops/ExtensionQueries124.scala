@@ -89,6 +89,23 @@ object ExtensionQueries124 {
       (p, (m("n").asInstanceOf[Long], m("s3").asInstanceOf[Long],
         m("nk").asInstanceOf[Long]))
     }
+    // Everything downstream aggregates/joins the O(3T) credit list and
+    // the O(m) support state — at battery scale those stages OOM at the
+    // session's default partition count exactly like clustcoef's deg
+    // aggregate did, so they run under thresholded size-scoped confs
+    // (empty at fixture scale; credits0 is already materialized, so the
+    // sizing count is a cached-scan job).
+    val creditRows = credits0.count()
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
+    val scaleConfs: Seq[(String, String)] =
+      if (creditRows <= 512000L * minParts) Seq.empty
+      else Seq(
+        "spark.sql.shuffle.partitions" -> (creditRows / 512000L).toString,
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val trace =
+      new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Boolean)]
+    Plans.withConf(spark, scaleConfs: _*) {
     var (sup, census) = observedPin(
       edges0.join(
         credits0.groupBy("u", "v").agg(count(lit(1)).as("c")),
@@ -100,8 +117,6 @@ object ExtensionQueries124 {
     // the FIRST round one of its edges is peeled; later-round probes
     // must not re-subtract it (its edges may also touch later deltas)
     var destroyedEver: DataFrame = null
-    val trace =
-      new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Boolean)]
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
@@ -152,6 +167,7 @@ object ExtensionQueries124 {
         lap(s"round $r delta=$nRemoved")
       }
     }
+    } // Plans.withConf
     credits0.unpersist(blocking = false)
     trace.toSeq.toDF("round", "n_edges", "n_tri", "n_kept", "fixpoint")
       .orderBy("round")

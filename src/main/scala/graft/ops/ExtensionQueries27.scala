@@ -90,19 +90,44 @@ object ExtensionQueries27 {
   // division. Nodes with d < 2 have no defined coefficient and are
   // excluded. Top-20 under (coef desc, id) — integer-derived, no ULP.
   def extClustcoef(s: SparkSession, dir: String): DataFrame = {
-    val edges = coOrderEdges(s, dir)
-    val deg = edges.select(col("u").as("id"))
-      .unionAll(edges.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    deg.filter(col("deg") >= 2)
-      .join(Triangles.perNodeBounded(edges)
-        .withColumnRenamed("n_triangles", "tri"), Seq("id"), "left")
-      .select(col("id"), col("deg"),
-        coalesce(col("tri"), lit(0L)).as("tri"))
-      .withColumn("coef",
-        round(col("tri").cast("double") * 2 /
-          (col("deg") * (col("deg") - 1)), 6))
-      .orderBy(desc("coef"), desc("deg"), asc("id")).limit(20)
+    import org.apache.spark.storage.StorageLevel
+    // The co-order derivation (lineitem self-join + distinct) ran once
+    // per consumer here — deg AND perNodeBounded each re-derived it, and
+    // at battery scale the 32-partition distinct/deg hash aggregates sat
+    // exactly at the execution-pool edge (m100v failed nondeterministically
+    // at the default heap). Round-12 shape: derive + persist the edge
+    // list ONCE, under partitions sized to the lineitem row count (the
+    // same thresholded discipline as Triangles.joinConfs — empty at
+    // fixture scale, so fixture plans stay byte-identical), and release
+    // it once the 20-row result is pinned.
+    val liRows = t(s, dir, "lineitem").count()
+    val minParts = s.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
+    // co-order edges ≈ 1.5 × lineitem rows on this schema; 256k-row
+    // tasks keep every hash map ~10-20 MB
+    val sizeConfs: Seq[(String, String)] =
+      if (liRows * 2 <= 256000L * minParts) Seq.empty
+      else Seq(
+        "spark.sql.shuffle.partitions" -> (liRows * 2 / 256000L).toString,
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    Plans.withConf(s, sizeConfs: _*) {
+      val edges = coOrderEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val deg = edges.select(col("u").as("id"))
+        .unionAll(edges.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val out = deg.filter(col("deg") >= 2)
+        .join(Triangles.perNodeBounded(edges)
+          .withColumnRenamed("n_triangles", "tri"), Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("coef",
+          round(col("tri").cast("double") * 2 /
+            (col("deg") * (col("deg") - 1)), 6))
+        .orderBy(desc("coef"), desc("deg"), asc("id")).limit(20)
+        .localCheckpoint()
+      edges.unpersist(blocking = false)
+      out
+    }
   }
 
   // ---- E-230 k-truss edge support histogram --------------------------------------

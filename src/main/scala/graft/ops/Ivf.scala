@@ -72,14 +72,25 @@ object Ivf {
 
   /** Nearest-centroid assignment: broadcast centroids, `min_by` over
     * squared distance. Output: corpus columns + cid.
+    *
+    * The argmin aggregate carries ONLY scalars (cid, d²): an embedding
+    * column in the agg buffer (the first cut used `first(embedding)`)
+    * forces SortAggregate — the n·k crossJoin rows, each ~1 KB wide,
+    * were externally SORTED per k-means iteration (~50 GB at the m100
+    * battery; flaky OOM in the spill readers at the default heap). The
+    * scalar form hash-aggregates with map-side partials, so the n·k
+    * intermediate never shuffles — only n skinny (vec_id, cid) rows do,
+    * and the embedding rejoins by key once.
     */
-  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cids = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        dist2(col("embedding"), col("centroid")).as("d2"))
       .groupBy("vec_id")
-      .agg(
-        min_by(col("cid"), struct(dist2(col("embedding"), col("centroid")), col("cid")))
-          .as("cid"),
-        first("embedding").as("embedding"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    corpus.join(cids, "vec_id")
+  }
 
   /** A trained IVF index: the coarse quantizer's centroids and the
     * inverted lists (corpus rows + their `cid`). Both are plain

@@ -372,7 +372,7 @@ object ScaleProbe {
       ix.copy(lists = lists)
     }
     println(f"SCALEPROBE ann_ivf_build rows=$nEmbA out=$kC sec=$tBuild%.2f")
-    for (nProbe <- Seq(1, 2, 4, 8)) {
+    for (nProbe <- Seq(1, 2, 4, 8, 16, 32)) {
       val (r, tS) = timed {
         recall(graft.ops.Ivf.search(index, probes, k = 10, nProbe = nProbe))
       }
