@@ -132,7 +132,12 @@ object ExtensionQueries124 {
         // the credit list, never to a driver-side collect
         val removedRaw = sup.filter(col("support") < k - 2).select("u", "v")
         val nRemoved = nEdges - nKept
-        val removed = if (nRemoved <= 4000000L) broadcast(removedRaw)
+        // 1M-row broadcast ceiling: a multi-million-row hashed relation
+        // is built single-threaded on the driver (hundreds of MB live at
+        // once — measured heap-OOM at m100's ~4.6M-edge first peel);
+        // past it the probe degrades to a scoped-partition shuffle join,
+        // which spills cleanly
+        val removed = if (nRemoved <= 1000000L) broadcast(removedRaw)
           else removedRaw
         // triangles newly destroyed: probe the immutable credit list
         // with the delta, then drop ids already destroyed in an earlier

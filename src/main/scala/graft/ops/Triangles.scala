@@ -340,6 +340,14 @@ object Triangles {
         val e1 = (if (slices == 1) oriented
           else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
           .select(col("s").as("a"), col("t").as("b"))
+        // localCheckpoint, not persist: a cached slice RETAINS its
+        // lineage, so every slice's W/slices-row wedge shuffle files
+        // stay on disk until the app exits — the total is ~W rows of
+        // shuffle (measured 75+ GB at W = 2.35B) and the box dies on
+        // DISK, not memory. Checkpointing truncates the lineage, so
+        // after the GC hint the ContextCleaner deletes the completed
+        // slice's shuffle files while the next slice runs — peak disk
+        // is one live slice plus the checkpointed credit blocks.
         val p = e1.hint("shuffle_hash").join(e2, "b")
           .join(e3.hint("shuffle_hash"), Seq("a", "c"))
           .select(col("a"), col("b"), col("c"), explode(array(
@@ -351,18 +359,12 @@ object Triangles {
               greatest(col("a"), col("c")).as("v")))).as("e"))
           .select(col("a"), col("b"), col("c"),
             col("e.u").as("u"), col("e.v").as("v"))
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
-        p.count() // materialize NOW — one slice's wedge shuffle live at a time
+          .localCheckpoint()
+        if (slices > 1) System.gc()
         p
       }
       if (slices == 1) parts.head
-      else {
-        val u = parts.reduce(_ unionAll _)
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
-        u.count()
-        parts.foreach(_.unpersist(blocking = false))
-        u
-      }
+      else parts.reduce(_ unionAll _)
     }
     oriented.unpersist(blocking = false)
     out
