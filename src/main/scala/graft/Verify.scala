@@ -25,7 +25,9 @@ object Verify {
     // every artifact here is now either absent or complete).
     def writeAtomic(path: String, content: String): Unit = {
       val target = Paths.get(path)
-      val tmp = Files.createTempFile(target.getParent, ".tmp_", ".json")
+      // .json.tmp suffix (NOT .json): a crash between write and move must
+      // not leave a partial file that an extension-based listing picks up.
+      val tmp = Files.createTempFile(target.getParent, ".tmp_", ".json.tmp")
       Files.writeString(tmp, content)
       Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -96,8 +98,11 @@ object Verify {
     writeAtomic(s"$outDir/_SUCCESS.json",
       s"""{"queries": ${selected.size}, "errors": ${errors.size}}""")
     spark.stop()
-    // Nonzero-exit discipline: a round where any query threw must be
-    // loudly red at the process level, not just a stderr line.
-    if (errors.nonEmpty) sys.exit(1)
+    // Exit contract: default exit 0 with _errors.json/_SUCCESS.json carrying
+    // the red/green signal — a driver that treats nonzero exit as an
+    // infrastructure failure must never discard completed artifacts over one
+    // red query. Opt into process-level red with SPARK_GRAFT_STRICT_EXIT=1.
+    if (errors.nonEmpty && sys.env.get("SPARK_GRAFT_STRICT_EXIT").contains("1"))
+      sys.exit(1)
   }
 }

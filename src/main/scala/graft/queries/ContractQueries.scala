@@ -216,6 +216,20 @@ object ContractQueries {
       .orderBy("c_custkey")
       .limit(50)
 
+  // ---- Q12b anti join, non-vacuous companion (J-5) -------------------------
+  // q12's result is EMPTY at the gate SFs (every customer has an order), so
+  // its green could be vacuous. Same left_anti operator against a filtered
+  // right side (no order above 250k) — provably non-empty at sf0.01 (11
+  // rows) and sf0.1 (108 rows), so the anti-join gate cannot pass on an
+  // accidentally-empty result.
+  def q12b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 250000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+      .limit(50)
+
   // ---- Q13 union all (U-1) --------------------------------------------------
   def q13(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -240,6 +254,18 @@ object ContractQueries {
   def q13c(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_custkey").as("k"))
       .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
+      .orderBy("k")
+      .limit(20)
+
+  // ---- Q13d except, non-vacuous companion (U-4) ------------------------------
+  // q13c's EXCEPT is empty at the gate SFs (all custkeys have orders); same
+  // operator over filtered inputs (BUILDING customers minus F-status order
+  // custkeys) is non-empty at sf0.01 (13 rows) and sf0.1 (93 rows).
+  def q13d(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+      .except(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k")))
       .orderBy("k")
       .limit(20)
 
@@ -516,8 +542,8 @@ object ContractQueries {
     "b1" -> (b1 _), "b2" -> (b2 _), "b3" -> (b3 _), "b4" -> (b4 _), "b4_agg" -> (b4Agg _),
     "b5" -> (b5 _), "b6" -> (b6 _), "b7" -> (b7 _), "b8" -> (b8 _),
     "b9" -> (b9 _), "b9_join" -> (b9Join _), "b10" -> (b10 _),
-    "q11" -> (q11 _), "q12" -> (q12 _), "q13" -> (q13 _),
-    "q13b" -> (q13b _), "q13c" -> (q13c _), "q14" -> (q14 _),
+    "q11" -> (q11 _), "q12" -> (q12 _), "q12b" -> (q12b _), "q13" -> (q13 _),
+    "q13b" -> (q13b _), "q13c" -> (q13c _), "q13d" -> (q13d _), "q14" -> (q14 _),
     "q15" -> (q15 _), "q16" -> (q16 _), "q17" -> (q17 _),
     "q18" -> (q18 _), "q19" -> (q19 _), "q20" -> (q20 _), "q20_merge" -> (q20Merge _),
     "q21" -> (q21 _), "q24" -> (q24 _), "q24_join" -> (q24Join _),

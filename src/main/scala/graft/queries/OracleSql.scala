@@ -95,6 +95,11 @@ object OracleSql {
         |where not exists (select 1 from orders o where o.o_custkey=c.c_custkey)
         |order by c_custkey limit 50""".stripMargin,
 
+    "q12b" ->
+      """select c_custkey, c_mktsegment from customer c
+        |where not exists (select 1 from orders o where o.o_custkey=c.c_custkey and o.o_totalprice>250000)
+        |order by c_custkey limit 50""".stripMargin,
+
     "q13" ->
       """select k, count(*) c from (
         |  select c_custkey k from customer where c_mktsegment='BUILDING'
@@ -107,6 +112,10 @@ object OracleSql {
 
     "q13c" ->
       """(select c_custkey k from customer except select o_custkey from orders) order by k limit 20""".stripMargin,
+
+    "q13d" ->
+      """(select c_custkey k from customer where c_mktsegment='BUILDING'
+        | except select o_custkey from orders where o_orderstatus='F') order by k limit 20""".stripMargin,
 
     "q14" ->
       """select o_orderkey, o_custkey, round(o_totalprice,2) tp from orders o

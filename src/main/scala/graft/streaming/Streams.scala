@@ -891,6 +891,12 @@ object Streams {
     * same micro-batch and the OR emits exactly once per doc. State is
     * one row per occupied (band, segment) bucket — 4× the single-band
     * state, same O(distinct content) asymptote.
+    *
+    * OUTPUT-MODE CONTRACT: the per-doc OR is a watermark-less streaming
+    * aggregation downstream of flatMapGroupsWithState, so the query runs
+    * in Update (or Complete) output mode ONLY — starting it in Append
+    * fails at analysis. NOT a drop-in for the single-band
+    * [[nearDupFilter]], which is append-safe; pick by sink mode.
     */
   def nearDupFilterMultiBand(docs: DataFrame,
       maxHamming: Int = 12): DataFrame = {

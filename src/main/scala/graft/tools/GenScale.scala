@@ -47,9 +47,24 @@ object GenScale {
     *   GloVe battery exercise the large-V cooc path. The planted dup
     *   structure (baseId) is vocab-independent, so ground truth is
     *   unchanged.
+    * @param sharedSpanRate 0 (default) = off — every pre-round-13
+    *   measured row is byte-identical. k > 0 (multiple of 10) plants
+    *   SPAN-level ground truth (round-12 judge directive #4) in blocks
+    *   of M = 2k docs: docs at block residues 3 and 5 both get the same
+    *   24-token span `s<block>_0..23` appended (a shared verbatim span
+    *   between exactly that pair — SpanDedup must remove exactly those
+    *   24 tokens from the LARGER id, residue 5); the doc at residue 9
+    *   gets a 12-token block `r<id>_0..11` appended TWICE in a row (an
+    *   intra-doc loop — SelfRepeatTrim must remove exactly the later
+    *   12-token copy). M is a multiple of 20 so the planted residues
+    *   (3, 5, 9 mod 20) never collide with the doc-level dup residues
+    *   (7, 13 mod 20), and span/loop tokens live in namespaces (`s*_*`,
+    *   `r*_*`) disjoint from both vocabularies — truth composes:
+    *   span-pair count = nDocs/2k, loop-doc count = nDocs/2k, each with
+    *   an exact tokens_removed.
     */
   def documentsDf(spark: SparkSession, nDocs: Long,
-      vocabSize: Int = 0): DataFrame = {
+      vocabSize: Int = 0, sharedSpanRate: Int = 0): DataFrame = {
     val langs = array(Seq("en", "en", "en", "de", "es", "fr", "zh").map(lit): _*)
     val vocab = array(Seq("spark", "sort", "column", "line", "part",
       "batch", "scan", "hash", "query", "table", "order", "value",
@@ -71,9 +86,31 @@ object GenScale {
         else element_at(vocab,
           (pmod(abs(xxhash64(lit("dw"), baseId, i)), size(vocab).cast("long")) + 1)
             .cast("int")))
+    val planted = if (sharedSpanRate == 0) lit("") else {
+      require(sharedSpanRate % 10 == 0,
+        s"sharedSpanRate must be a multiple of 10 (block = 2k docs must " +
+          s"align with the mod-20 dup planting), got $sharedSpanRate")
+      val m2 = 2L * sharedSpanRate
+      val grp = floor(col("id") / m2).cast("long")
+      val res = pmod(col("id"), lit(m2))
+      // digit→letter transliteration: planted tokens must survive
+      // TextAnalysis.scrub (which rewrites [0-9]+ to <NUM> — digit ids
+      // would collapse every span/loop token to ONE string corpus-wide
+      // and the df-cap would drop them all), so ids encode as letters
+      def alpha(c: org.apache.spark.sql.Column) =
+        translate(c.cast("string"), "0123456789", "abcdefghij")
+      val span = concat_ws(" ", transform(sequence(lit(0), lit(23)),
+        i => concat(lit("s"), alpha(grp), lit("x"), alpha(i))))
+      val block = concat_ws(" ", transform(sequence(lit(0), lit(11)),
+        i => concat(lit("r"), alpha(col("id")), lit("x"), alpha(i))))
+      when(res === 3 || res === 5, concat(lit(" "), span))
+        .when(res === 9, concat(lit(" "), block, lit(" "), block))
+        .otherwise(lit(""))
+    }
     spark.range(nDocs).select(col("id").as("doc_id"),
         concat(concat_ws(" ", words),
-          when(pmod(col("id"), lit(20)) === 7, lit(" xdup")).otherwise(lit("")))
+          when(pmod(col("id"), lit(20)) === 7, lit(" xdup")).otherwise(lit("")),
+          planted)
           .as("text"),
         pick(langs, "dlg", col("id")).as("lang"),
         concat(lit("src"), pmod(h("dsv", col("id")), lit(20))).as("source"))
