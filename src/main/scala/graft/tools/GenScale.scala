@@ -103,7 +103,12 @@ object GenScale {
         i => concat(lit("s"), alpha(grp), lit("x"), alpha(i))))
       val block = concat_ws(" ", transform(sequence(lit(0), lit(11)),
         i => concat(lit("r"), alpha(col("id")), lit("x"), alpha(i))))
-      when(res === 3 || res === 5, concat(lit(" "), span))
+      // doc-UNIQUE separator before the span: without it, a pair whose
+      // two bases happen to END in the same vocab word (1/V per pair)
+      // truly shares a 25-token span and the exact-24 expectation
+      // breaks — the separator pins the shared run to the planted span
+      when(res === 3 || res === 5,
+          concat(lit(" q"), alpha(col("id")), lit(" "), span))
         .when(res === 9, concat(lit(" "), block, lit(" "), block))
         .otherwise(lit(""))
     }

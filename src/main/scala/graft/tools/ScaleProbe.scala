@@ -281,7 +281,7 @@ object ScaleProbe {
     // whenever the base is >= the 15-token span floor. mismatch= MUST
     // print 0/0 at every mult.
     val vocabV = sys.env.get("SPARK_GRAFT_SPAN_VOCAB").map(_.toInt)
-      .getOrElse(math.max(30L, nDocs / 50L).toInt)
+      .getOrElse(math.max(1000L, nDocs / 50L).toInt)
     val docsS = GenScale.documentsDf(spark, nDocs, vocabSize = vocabV,
         sharedSpanRate = 10)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -363,7 +363,7 @@ object ScaleProbe {
     // must track O(distinct content), while the per-doc OR aggregation
     // is honestly O(docs ever seen) in this watermark-less shape.
     val vocabV = sys.env.get("SPARK_GRAFT_SPAN_VOCAB").map(_.toInt)
-      .getOrElse(math.max(30L, nDocs / 50L).toInt)
+      .getOrElse(math.max(1000L, nDocs / 50L).toInt)
     val docsN = GenScale.documentsDf(spark, nDocs, vocabSize = vocabV)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docsN.count()

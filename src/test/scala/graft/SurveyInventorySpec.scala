@@ -45,7 +45,7 @@ class SurveyInventorySpec extends AnyFunSuite {
   // that silently skips an ID shape — the round-10 OP-MERGE-DEL escape)
   // must FAIL here, not vanish from the coverage audit. Bump this number
   // in the same commit that adds a §2 row.
-  private val ExpectedRowCount = 679
+  private val ExpectedRowCount = 680
 
   test("every §2 operator row has a unique ID") {
     assert(rows.nonEmpty, "no §2 rows parsed — did the table format change?")
