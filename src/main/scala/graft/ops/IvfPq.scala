@@ -117,10 +117,17 @@ object IvfPq {
     */
   def searchAdc(index: IvfPqIndex, probes: DataFrame, k: Int, nProbe: Int,
       m: Int, subDim: Int): DataFrame = {
-    val ptab = probeCodeTables(index, probes, nProbe, m, subDim)
+    val ptab0 = probeCodeTables(index, probes, nProbe, m, subDim)
+      .drop("probe_vec")
+    // the table side is nprobes·nProbe·m·k rows — broadcast-sized for a
+    // typical probe panel, but a big panel at a production code budget
+    // (e.g. 200 probes × nProbe 32 × 16×256 books = 26M rows) must
+    // shuffle-join on (cid, sub, code) instead; the probe count is the
+    // cheap side to measure
+    val tabRows = probes.count() * nProbe.toLong * index.codebooks.count()
+    val ptab = if (tabRows <= 4000000L) broadcast(ptab0) else ptab0
     val w = Window.partitionBy("probe_id").orderBy(col("adq"), col("vec_id"))
-    index.codes.join(broadcast(ptab.drop("probe_vec")),
-        Seq("cid", "sub", "code"))
+    index.codes.join(ptab, Seq("cid", "sub", "code"))
       .groupBy("probe_id", "vec_id")
       .agg(sum("dq").as("adq"))
       .filter(col("vec_id") =!= col("probe_id"))

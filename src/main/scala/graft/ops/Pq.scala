@@ -61,12 +61,18 @@ object Pq {
       .cache()
     var it = 0
     while (it < iters) {
-      val assigned = subs.join(broadcast(codebooks), Seq("sub"))
+      // scalar-only argmin (the Ivf.assign round-12 lesson): carrying
+      // `first(subvec)` in the agg buffer forces SortAggregate, and the
+      // n·m·k distance rows get EXTERNALLY SORTED per Lloyd iteration
+      // (~40 GB at the m100v 16×256 budget); the scalar form
+      // hash-aggregates with map-side partials and the subvec rejoins
+      // by (vec_id, sub) — one skinny shuffle
+      val cids = subs.join(broadcast(codebooks), Seq("sub"))
+        .select(col("vec_id"), col("sub"),
+          col("cid"), dist2(col("subvec"), col("centroid")).as("d2"))
         .groupBy("vec_id", "sub")
-        .agg(min_by(col("cid"),
-            struct(dist2(col("subvec"), col("centroid")), col("cid")))
-          .as("cid"),
-          first("subvec").as("subvec"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      val assigned = subs.join(cids, Seq("vec_id", "sub"))
       val next = assigned
         .select(col("sub"), col("cid"),
           posexplode(col("subvec")).as(Seq("pos", "v")))

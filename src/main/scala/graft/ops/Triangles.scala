@@ -311,6 +311,74 @@ object Triangles {
     total
   }
 
+  /** [[creditListBounded]] streamed STRAIGHT into a hash-bucketed
+    * parquet store: each slice's credit rows (explode fused, as below)
+    * append to `dir` partitioned by bucket = pmod(hash(u,v), B), so the
+    * incremental peel's delta probes prune to their own bucket
+    * directories. Returns B.
+    *
+    * Why not localCheckpoint-then-rewrite: the checkpoint blocks of an
+    * O(T) credit list are resident through the rewrite (the write READS
+    * them) and the default heap at m100 has no room for both the blocks
+    * and 32 concurrent parquet writers — measured OOM in
+    * ParquetWriteSupport with either ordering of the frees. Streaming
+    * slice-by-slice keeps peak memory at ONE slice's wedge join plus
+    * writers sized by slice/B rows, and peak disk at one slice's
+    * shuffle plus the growing store; the GC hint after each slice lets
+    * the ContextCleaner drop the completed slice's shuffle files while
+    * the next runs (the E-471 disk discipline). At cluster scale this
+    * IS the production shape: enumeration streams to partitioned
+    * shared storage, never through executor memory twice.
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    */
+  def creditListBucketed(edges: DataFrame, dir: String,
+      targetWedges: Long = 256000000L): Int = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+        coalesce(sum("d"), lit(0L)).cast("long"))
+      .head()
+    val w = deg.getLong(0) / 2
+    val m = deg.getLong(1)
+    val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
+    val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .fold(32)(_.toInt)
+    // ~128k edges per bucket: B ≈ 690 at m100's 90M edges — granular
+    // enough that a small peel delta reads a few percent of the store
+    val numBuckets = math.max(32L, math.min(4096L, m / 131072L)).toInt
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    Plans.withConf(spark, joinConfs(m, minParts): _*) {
+      (0 until slices).foreach { i =>
+        val e1 = (if (slices == 1) oriented
+          else oriented.filter(pmod(xxhash64(col("s")), lit(slices)) === i))
+          .select(col("s").as("a"), col("t").as("b"))
+        e1.hint("shuffle_hash").join(e2, "b")
+          .join(e3.hint("shuffle_hash"), Seq("a", "c"))
+          .select(col("a"), col("b"), col("c"), explode(array(
+            struct(least(col("a"), col("b")).as("u"),
+              greatest(col("a"), col("b")).as("v")),
+            struct(least(col("b"), col("c")).as("u"),
+              greatest(col("b"), col("c")).as("v")),
+            struct(least(col("a"), col("c")).as("u"),
+              greatest(col("a"), col("c")).as("v")))).as("e"))
+          .select(col("a"), col("b"), col("c"),
+            col("e.u").as("u"), col("e.v").as("v"))
+          .withColumn("bucket",
+            pmod(hash(col("u"), col("v")), lit(numBuckets)).cast("int"))
+          .repartition(numBuckets, col("bucket"))
+          .write.mode("append")
+          .partitionBy("bucket").parquet(dir)
+        if (slices > 1) System.gc()
+      }
+    }
+    oriented.unpersist(blocking = false)
+    numBuckets
+  }
+
   /** The 3-per-triangle credit list — (a, b, c, u, v): triangle identity
     * plus each credited edge canonicalized to u < v — materialized under
     * the same wedge disciplines, with the explode FUSED into the slice

@@ -190,19 +190,30 @@ class CorpusPipeline(
     // consumers (count + join) and released before returning.
     val (finalOut, finalCount, spanRewritten) = spanDedupMinTokens match {
       case Some(minL) =>
+        // Plans.pin FIRST: by here the funnel's logical plan is deep
+        // (every enabled optional stage adds a persist-join layer), and
+        // the span machinery references it several more times (gram
+        // explode, df-cap join, rewrite's two joins) — Catalyst
+        // re-optimizes the MULTIPLIED plan on every span-stage action,
+        // measured as minutes of pure driver planning (main thread
+        // spinning in transformDownWithPruning) with both optional
+        // filters enabled at battery scale. Pinning truncates lineage +
+        // stats to the cached rows, the same discipline as the peel
+        // loops; `out` itself is released right after.
+        val outP = graft.ops.Plans.pin(out)
+        out.unpersist()
         val merged = graft.ops.SpanDedup.mergeSpans(
-          graft.ops.SpanDedup.removalSpans(out, idCol, textCol, minL))
-        val rewritten = graft.ops.SpanDedup.rewrite(out, merged, idCol, textCol)
+          graft.ops.SpanDedup.removalSpans(outP, idCol, textCol, minL))
+        val rewritten = graft.ops.SpanDedup.rewrite(outP, merged, idCol, textCol)
           .select(col("doc_id").as(idCol), col("new_text"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nRewritten = rewritten.count()
-        val o2 = out.join(rewritten, Seq(idCol), "left")
+        val o2 = outP.join(rewritten, Seq(idCol), "left")
           .withColumn(textCol, coalesce(col("new_text"), col(textCol)))
           .drop("new_text")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val c2 = o2.count()
         rewritten.unpersist()
-        out.unpersist()
         (o2, c2, nRewritten)
       case None => (out, outCount, 0L)
     }

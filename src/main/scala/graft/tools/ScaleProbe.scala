@@ -330,7 +330,12 @@ object ScaleProbe {
     // the fixture-vocab corpus (scrub-safe: no digits) + planted spans:
     // doc-level dups fall at exact/near dedup, so the span stage sees
     // exactly the planted residue-5 span losers — spanRewritten MUST
-    // equal nDocs/20, printed as got/expected.
+    // equal nDocs/20, printed as got/expected. Near-dup threshold 0.7,
+    // not the pipeline family's 0.5: a SHORT-base span pair's whole-doc
+    // shingle Jaccard reaches ~0.55 from the planted span alone (8-token
+    // base + 24-token span), and doc-level dedup must NOT eat what the
+    // span stage exists to handle (planted near-copies sit at ~0.95 —
+    // clean separation); exactly the Lee-et-al division of labor.
     val docsP = GenScale.documentsDf(spark, nDocs, vocabSize = 0,
         sharedSpanRate = 10)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -338,7 +343,7 @@ object ScaleProbe {
     val ((repS, outS, rwS), tPls) = timed {
       val pl = new graft.pipeline.CorpusPipeline(
         maxDup3Frac = Some(1.0), maxLmScore = Some(1e9),
-        nearDupThreshold = 0.5, shingleNgram = 3,
+        nearDupThreshold = 0.7, shingleNgram = 3,
         spanDedupMinTokens = Some(15))
       val (out, report) = pl.run(docsP)
       val n = out.count()
@@ -552,6 +557,33 @@ object ScaleProbe {
         f"out=${(rR * 10000).round} recall=$rR%.4f sec=$tR%.2f")
     }
     ipq.codes.unpersist(blocking = false)
+    // production code budget 16×256 (128 bits/vector on 64-dim): the
+    // 8×16 rows above measure a TOY budget where quantization error
+    // swamps top-10 gaps as corpus density grows (top-10 of 20k
+    // same-cluster members sit closer together than a 4-bit cell) —
+    // this is the budget/density axis of the quality-cost surface, and
+    // the config a real deployment starts from; refine = 10·k gives
+    // the exact re-rank its production depth
+    val (ipq16, tIpq16) = timed {
+      graft.ops.IvfPq.buildIndex(embA, kCentroids = kC, m = 16,
+        kCodes = 256, subDim = 4)
+    }
+    println(f"SCALEPROBE ann_ivfpq16_build rows=$nEmbA out=$kC sec=$tIpq16%.2f")
+    for (nProbe <- Seq(1, 4, 16, 32)) {
+      val (rA, tA) = timed {
+        recall(graft.ops.IvfPq.searchAdc(ipq16, probes, k = 10,
+          nProbe = nProbe, m = 16, subDim = 4))
+      }
+      println(f"SCALEPROBE ann_ivfpq16_adc_np$nProbe rows=$nEmbA " +
+        f"out=${(rA * 10000).round} recall=$rA%.4f sec=$tA%.2f")
+      val (rR, tR) = timed {
+        recall(graft.ops.IvfPq.search(ipq16, embA, probes, k = 10,
+          nProbe = nProbe, m = 16, subDim = 4, refine = 100))
+      }
+      println(f"SCALEPROBE ann_ivfpq16_refine_np$nProbe rows=$nEmbA " +
+        f"out=${(rR * 10000).round} recall=$rR%.4f sec=$tR%.2f")
+    }
+    ipq16.codes.unpersist(blocking = false)
     probes.unpersist(blocking = false)
     embA.unpersist(blocking = false)
     }
