@@ -49,13 +49,22 @@ object ExtensionQueries112 {
       .filter(col("b") < col("c"))
       .join(l2.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"),
         "left_semi")
-    val l3 = c3
-      .join(items.select(col("bk"), col("it").as("a")), Seq("a"))
-      .join(items.select(col("bk"), col("it").as("b")), Seq("bk", "b"),
-        "left_semi")
-      .join(items.select(col("bk"), col("it").as("c")), Seq("bk", "c"),
-        "left_semi")
-      .groupBy("a", "b", "c").agg(countDistinct("bk").as("support"))
+    // L3 support is counted by generating each basket's own ordered
+    // triples (baskets are per-order DISTINCT brands, so they are small)
+    // and semi-filtering against the pruned C3. The previous form
+    // attached candidates to baskets by joining on the FIRST item — a
+    // ~25-value brand key — fanning out to |C3|·(basket rows per brand)
+    // ≈ tens of millions of rows before its two semi-join rechecks;
+    // per-basket generation emits O(Σ C(|basket|,3)) rows instead. Same
+    // triples, same supports: a<b<c makes (bk,a,b,c) unique, so the
+    // count(1) equals the old countDistinct(bk).
+    val l3 = items.select(col("bk"), col("it").as("a"))
+      .join(items.select(col("bk"), col("it").as("b")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .join(items.select(col("bk"), col("it").as("c")), Seq("bk"))
+      .filter(col("b") < col("c"))
+      .join(c3, Seq("a", "b", "c"), "left_semi")
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSup)
     l3.orderBy(desc("support"), asc("a"), asc("b"), asc("c"))
       .limit(20)

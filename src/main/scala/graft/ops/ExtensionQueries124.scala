@@ -90,16 +90,39 @@ object ExtensionQueries124 {
     // scaladoc). At cluster scale the bucketed dataset IS the index
     // layout on shared storage; locally it lands in a temp dir deleted
     // after the trace.
-    val creditsRoot = java.nio.file.Files
-      .createTempDirectory("graft_ktruss_credits_")
-    // write target is a CHILD of the temp dir: Spark's parquet writer
-    // refuses a pre-existing path in default mode
-    val creditsDir = creditsRoot.resolve("credits").toString
+    // STORE-FORM choice is scale-adaptive (optimization guide §2: never
+    // tune for one end of the scale): the bucketed parquet store earns
+    // its write cost only when the credit list is big enough that later
+    // rounds' partition-pruned probes beat full scans — the multi-slice
+    // regime (m100: W=2.35B, 540M credit rows, rounds 65 s → ~20 s).
+    // Below the slicing threshold the whole enumeration is one job and
+    // the list fits the block store, where a broadcast-hash probe of the
+    // pinned frame needs no pruning at all; the parquet round-trip there
+    // was pure overhead (measured sf0.1: credits 33.5 s via the store vs
+    // 9.5 s pinned, query 70 s → 26 s, trace bit-identical).
+    val (wedges, _) = Triangles.wedgeStats(edges0)
+    val useBucketStore = wedges > 256000000L
+    val creditsRoot = if (!useBucketStore) null
+      else java.nio.file.Files.createTempDirectory("graft_ktruss_credits_")
     val trace =
       new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Boolean)]
     try {
-    val numBuckets = Triangles.creditListBucketed(edges0, creditsDir)
-    lap(s"credits bucketed stream B=$numBuckets")
+    val (credits0, numBuckets) =
+      if (useBucketStore) {
+        // write target is a CHILD of the temp dir: Spark's parquet
+        // writer refuses a pre-existing path in default mode
+        val creditsDir = creditsRoot.resolve("credits").toString
+        val b = Triangles.creditListBucketed(edges0, creditsDir)
+        lap(s"credits bucketed stream B=$b")
+        (spark.read.parquet(creditsDir)
+          .select(col("a"), col("b"), col("c"), col("u"), col("v"),
+            col("bucket")), b)
+      } else {
+        // creditListBounded already localCheckpoints its (single) slice
+        val c = Triangles.creditListBounded(edges0)
+        lap("credits pinned in-memory")
+        (c, 0)
+      }
     // the per-round census (live edges, Σsupport = 3·T, survivors) rides
     // the pin action as an Observation — no separate aggregate job per
     // round
@@ -120,8 +143,6 @@ object ExtensionQueries124 {
     // (empty at fixture scale; the sizing count is parquet metadata).
     val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .fold(32)(_.toInt)
-    val credits0 = spark.read.parquet(creditsDir)
-      .select(col("a"), col("b"), col("c"), col("u"), col("v"), col("bucket"))
     val creditRows = credits0.count()
     def bucketsOf(edgesDf: DataFrame): Array[Int] = edgesDf
       .select(pmod(hash(col("u"), col("v")), lit(numBuckets))
@@ -182,6 +203,11 @@ object ExtensionQueries124 {
     }
     var r = 0
     var done = false
+    // the NEXT round's delta, pinned on the SAME view pass that computes
+    // its census (Observation above the filter sees every view row) —
+    // one O(m) codegen scan per round instead of the two separate ones
+    // (census agg + delta filter) the first version paid
+    var removedNext: DataFrame = null
     while (r < maxRounds && !done) {
       val (nEdges, s3, nKept) = census
       trace += ((r, nEdges, s3 / 3, nKept, nKept == nEdges))
@@ -192,22 +218,32 @@ object ExtensionQueries124 {
         // (nEdges − nKept) from the census, so the probe side can be
         // hinted broadcast whenever it fits. Pinned once (delta-sized):
         // its three consumers (bucket set, credit probe, removedEver
-        // merge) must not each re-scan the view.
-        val removedRaw = Plans.pin(
-          curView.filter(col("support") < k - 2).select("u", "v"))
+        // merge) must not each re-scan the view. Round 1's delta comes
+        // off the pinned round-0 base; later rounds' deltas were already
+        // pinned by the previous round's fused census pass.
+        val removedRaw =
+          if (removedNext != null) removedNext
+          else Plans.pin(
+            curView.filter(col("support") < k - 2).select("u", "v"))
         val nRemoved = nEdges - nKept
         val removed = maybeBroadcast(removedRaw, nRemoved)
-        // PRUNED probe: the delta's bucket set (≤ B ints, a cheap
-        // distinct scan) becomes a partition filter on the bucketed
-        // credit store — matching credit rows can only live in the
-        // delta's own hash buckets, so the scan reads exactly those
-        // directories. A delta touching ≥7/8 of the buckets reads
-        // everything anyway; skip the In-list then.
-        val deltaBuckets = bucketsOf(removedRaw)
+        // PRUNED probe (bucket store only): the delta's bucket set
+        // (≤ B ints, a cheap distinct scan) becomes a partition filter
+        // on the bucketed credit store — matching credit rows can only
+        // live in the delta's own hash buckets, so the scan reads
+        // exactly those directories. A delta touching ≥7/8 of the
+        // buckets reads everything anyway; skip the In-list then. The
+        // in-memory store needs no pruning: the probe IS a broadcast-
+        // hash scan of the pinned frame.
         val creditsProbe =
-          if (deltaBuckets.length.toLong * 8 >= numBuckets.toLong * 7) credits0
-          else credits0.filter(
-            col("bucket").isin(deltaBuckets.toIndexedSeq: _*))
+          if (!useBucketStore) credits0
+          else {
+            val deltaBuckets = bucketsOf(removedRaw)
+            if (deltaBuckets.length.toLong * 8 >= numBuckets.toLong * 7)
+              credits0
+            else credits0.filter(
+              col("bucket").isin(deltaBuckets.toIndexedSeq: _*))
+          }
         // Plans.pin on every SMALL round frame: each round references
         // the previous round's frames several times, so the logical
         // plan (and its stats bit-length) would MULTIPLY per round —
@@ -222,11 +258,15 @@ object ExtensionQueries124 {
           .groupBy("u", "v").agg(count(lit(1)).as("dec"))
         // merge the round's decrements into the cumulative patch (both
         // delta-sized); removed edges append disjointly, no dedup
+        // the dec-patch pin doubles as its own row count (Observation —
+        // no separate count() job)
+        val decObs = org.apache.spark.sql.Observation()
         decEver = Plans.pin(
-          if (decEver == null) newDecs
+          (if (decEver == null) newDecs
           else decEver.unionAll(newDecs)
             .groupBy("u", "v").agg(sum(col("dec")).as("dec")))
-        decRows = decEver.count()
+            .observe(decObs, count(lit(1)).as("n")))
+        decRows = decObs.get("n").asInstanceOf[Long]
         removedEver =
           if (removedEver == null) removedRaw
           else removedEver.unionAll(removedRaw)
@@ -234,14 +274,20 @@ object ExtensionQueries124 {
         destroyedEver =
           if (destroyedEver == null) destroyedNew
           else destroyedEver.unionAll(destroyedNew)
-        // next census: ONE aggregate pass over the updated view — a
-        // codegen'd scan of the round-0 cache, no shuffle when the
-        // patches broadcast
-        val row = curView.agg(
-          count(lit(1)).as("n"),
-          coalesce(sum("support"), lit(0L)).as("s3"),
-          count(when(col("support") >= k - 2, 1)).as("nk")).head()
-        census = (row.getLong(0), row.getLong(1), row.getLong(2))
+        // next census + next delta in ONE pass over the updated view —
+        // a codegen'd scan of the round-0 cache (no shuffle when the
+        // patches broadcast) whose Observation carries the census while
+        // the filter below it pins next round's removed set
+        val obs = org.apache.spark.sql.Observation()
+        removedNext = Plans.pin(
+          curView.observe(obs,
+              count(lit(1)).as("n"),
+              coalesce(sum("support"), lit(0L)).as("s3"),
+              count(when(col("support") >= k - 2, 1)).as("nk"))
+            .filter(col("support") < k - 2).select("u", "v"))
+        val m2 = obs.get
+        census = (m2("n").asInstanceOf[Long], m2("s3").asInstanceOf[Long],
+          m2("nk").asInstanceOf[Long])
         lap(s"round $r delta=$nRemoved")
       }
     }
@@ -249,8 +295,8 @@ object ExtensionQueries124 {
     } finally {
       // the trace lives driver-side (Observation metrics), so the
       // bucketed store is dead once the loop exits — even on failure
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(creditsRoot.toFile)
+      if (creditsRoot != null)
+        org.apache.commons.io.FileUtils.deleteDirectory(creditsRoot.toFile)
     }
     trace.toSeq.toDF("round", "n_edges", "n_tri", "n_kept", "fixpoint")
       .orderBy("round")

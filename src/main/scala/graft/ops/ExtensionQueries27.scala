@@ -47,7 +47,9 @@ object ExtensionQueries27 {
     val deg = edges.groupBy("p").agg(count(lit(1)).as("d"))
       .filter(col("d").between(2L, 1000L))
       .withColumn("w", lit(1.0) / log(col("d").cast("double")))
-    val pruned = edges.join(deg, "p")
+    // both sides of the self-join below — pin so the edges⋈deg prune
+    // runs once, not twice
+    val pruned = edges.join(deg, "p").localCheckpoint()
     val pairs = pruned.select(col("p"), col("w"), col("s").as("s_a"))
       .join(pruned.select(col("p"), col("s").as("s_b")), "p")
       .filter(col("s_a") < col("s_b"))

@@ -28,11 +28,14 @@ object ExtensionQueries34 {
   // per-node E-229 view aggregates to.
   def extClosure(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    // four consumers (deg→wedge, ne, and the sliced triangle count's
+    // orient+enumeration) — pin the O(m) self-join+distinct once
     val edges = li.select(col("l_orderkey").as("o"), col("l_partkey").as("u"))
       .join(li.select(col("l_orderkey").as("o"), col("l_partkey").as("v")), "o")
       .filter(col("u") < col("v"))
       .select("u", "v")
       .distinct()
+      .localCheckpoint()
     val deg = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))

@@ -36,7 +36,10 @@ object ExtensionQueries68 {
   // crush it — and the matched-pair outcome contrast (order count),
   // the ATT under selection-on-observables. Exact decimal moments.
   def extMatching(s: SparkSession, dir: String): DataFrame = {
-    val c = custFrame(s, dir)
+    // three consumers (matched + both moment aggregates) — pin the
+    // customer⋈order-count frame once instead of recomputing its join
+    // per consumer
+    val c = custFrame(s, dir).localCheckpoint()
     val wPrev = Window.orderBy("bal", "k")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wNext = Window.orderBy("bal", "k")

@@ -55,12 +55,19 @@ object ExtensionQueries87 {
       .select(col("doc_id"),
         explode(array_distinct(filter(split(col("text"), " "),
           x => x =!= ""))).as("tk"))
-    val sigs = toks
-      .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(0), lit(31))).as("seed"))
-      .select(col("doc_id"), col("seed"),
+    // The 60-bit sha2 hash is the expensive expression here; its value
+    // depends only on (seed, token), so hash each DISTINCT token once
+    // (V×32 rows) and attach by token join instead of re-hashing every
+    // (doc, token) occurrence ×32 — same mh values, ~N/V fewer sha2
+    // evaluations (measured 11.5 s → see OPTIMIZATION_r13.md). The join
+    // output fan-out feeds the map-side partial min directly; the
+    // vocabulary table is the only extra shuffled input.
+    val tokH = toks.select("tk").distinct()
+      .select(col("tk"), explode(sequence(lit(0), lit(31))).as("seed"))
+      .select(col("tk"), col("seed"),
         h60(concat(col("seed").cast("string"), lit(":"), col("tk")))
           .as("hq"))
+    val sigs = toks.join(tokH, Seq("tk"))
       .groupBy("doc_id", "seed").agg(min("hq").as("mh"))
     val pairs = snmPairs(s, dir)
       .select(col("da"), col("db"),

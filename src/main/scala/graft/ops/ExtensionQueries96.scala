@@ -79,29 +79,35 @@ object ExtensionQueries96 {
         round(cosine(col("embedding"), col("qe")) * 1e9).cast("long").as("sq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()
-    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Long)]
+    // Greedy rounds maintain max_{s∈S} sim INCREMENTALLY: only the vector
+    // picked last round contributes new cosines, so each round is one
+    // narrow greatest() over the remaining candidates instead of a
+    // |S|-way crossJoin + groupBy whose first(embedding) agg buffer
+    // forced SortAggregate (the Ivf.assign lesson). Same quantized
+    // cosines, same greatest-long fold as the old max() — the greedy
+    // trace and score9 values are bit-identical.
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val firstTop = cands
+      .select(col("vec_id"), col("embedding"), (col("sq") * 7).as("score9"))
+      .orderBy(desc("score9"), asc("vec_id")).limit(1).head()
+    picked += ((firstTop.getLong(0), firstTop.getLong(2)))
+    var state = cands.filter(col("vec_id") =!= firstTop.getLong(0))
+      .withColumn("maxq",
+        round(cosine(col("embedding"),
+          typedlit(firstTop.getSeq[Float](1))) * 1e9).cast("long"))
     while (picked.size < 8) {
-      val remaining =
-        cands.filter(!col("vec_id").isin(picked.map(_._1).toSeq: _*))
-      val scored =
-        if (picked.isEmpty)
-          remaining.select(col("vec_id"), col("embedding"),
-            (col("sq") * 7).as("score9"))
-        else {
-          val sel = picked.map(_._2).toSeq.toDF("sel_emb")
-          remaining.crossJoin(broadcast(sel))
-            .groupBy("vec_id")
-            .agg(first("embedding").as("embedding"), first("sq").as("sq"),
-              max(round(cosine(col("embedding"), col("sel_emb")) * 1e9)
-                .cast("long")).as("maxq"))
-            .select(col("vec_id"), col("embedding"),
-              (col("sq") * 7 - col("maxq") * 3).as("score9"))
-        }
-      val top = scored.orderBy(desc("score9"), asc("vec_id")).limit(1).head()
-      picked += ((top.getLong(0), top.getSeq[Float](1), top.getLong(2)))
+      val top = state
+        .select(col("vec_id"), col("embedding"),
+          (col("sq") * 7 - col("maxq") * 3).as("score9"))
+        .orderBy(desc("score9"), asc("vec_id")).limit(1).head()
+      picked += ((top.getLong(0), top.getLong(2)))
+      state = state.filter(col("vec_id") =!= top.getLong(0))
+        .withColumn("maxq", greatest(col("maxq"),
+          round(cosine(col("embedding"),
+            typedlit(top.getSeq[Float](1))) * 1e9).cast("long")))
     }
     cands.unpersist(blocking = false)
-    picked.zipWithIndex.map { case ((id, _, sc), i) =>
+    picked.zipWithIndex.map { case ((id, sc), i) =>
       ((i + 1).toLong, id, sc)
     }.toSeq.toDF("rank", "vec_id", "score9")
   }

@@ -37,19 +37,24 @@ object Hits {
     */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    // the edge list is loop-invariant but joined TWICE per iteration
+    // (auth then hub): pin it once so every round reads materialized
+    // blocks instead of re-running the caller's scan + distinct upstream
+    val e = edges.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
     var scores = nodes.withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
     for (_ <- 1 to iterations) {
       val auth = nodes.join(
-          edges.join(scores.select(col("id").as("src"), col("hub")), "src")
+          e.join(scores.select(col("id").as("src"), col("hub")), "src")
             .groupBy("dst").agg(sum("hub").as("graft_h_a")),
           nodes("id") === col("dst"), "left")
         .select(col("id"), coalesce(col("graft_h_a"), lit(0.0)).as("auth"))
       val hub = nodes.join(
-          edges.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+          e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
             .groupBy("src").agg(sum("auth").as("graft_a_h")),
           nodes("id") === col("src"), "left")
         .select(col("id"), coalesce(col("graft_a_h"), lit(0.0)).as("hub"))

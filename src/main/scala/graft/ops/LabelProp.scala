@@ -34,13 +34,16 @@ object LabelProp {
     */
   def communities(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "label propagation needs at least one round")
-    var labels = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    // loop-invariant edge list joined every round: pin once (Bfs note)
+    val e = edges.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val votes = edges
+      val votes = e
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .select(col("dst").as("id"), col("lbl"))
         .unionAll(labels)

@@ -35,14 +35,22 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    // pin the caller's edge plan ONCE, derive nodes/outdeg/contribs from
+    // the pin: the contribution frame is loop-invariant but joined every
+    // iteration, and without the pin each iteration re-ran the caller's
+    // edge derivation (scan + distinct at most call sites) plus the
+    // outdeg groupBy + join
+    val e = edges.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("graft_pr_d"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("graft_pr_d"))
     // outdeg rides along with each edge so the per-iteration join is
     // edges ⋈ ranks only
-    val contribs = edges.join(outdeg, "src")
+    val contribs = e.join(outdeg, "src")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pr = nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to iterations) {
       val inbound = contribs
@@ -71,8 +79,11 @@ object PageRank {
     require(iterations >= 1, "ppr needs at least one iteration")
     val k = seeds.select("id").distinct().count()
     require(k >= 1, "ppr needs at least one seed")
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    // loop-invariant pin, same reasoning as run()
+    val e = edges.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
       .join(broadcast(seeds.select(col("id")).distinct()
         .withColumn("graft_ppr_seed", lit(true))), Seq("id"), "left")
@@ -80,8 +91,9 @@ object PageRank {
         when(col("graft_ppr_seed"), lit(1.0 / k)).otherwise(lit(0.0))
           .as("graft_ppr_r"))
       .localCheckpoint()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("graft_pr_d"))
-    val contribs = edges.join(outdeg, "src")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("graft_pr_d"))
+    val contribs = e.join(outdeg, "src")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pr = nodes.withColumn("pr", col("graft_ppr_r"))
     for (_ <- 1 to iterations) {
       val inbound = contribs
@@ -112,15 +124,18 @@ object PageRank {
   def katz(edges: DataFrame, iterations: Int,
       invAlpha: Long = 20L): DataFrame = {
     require(iterations >= 1, "katz needs at least one iteration")
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    // loop-invariant edge list: pin once (see run)
+    val e = edges.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
     var x = nodes.withColumn("z", lit(1L))
     var scale = 1L
     for (_ <- 1 to iterations) {
       scale *= invAlpha
-      val inbound = edges
+      val inbound = e
         .join(x.select(col("id").as("src"), col("z")), "src")
         .groupBy("dst")
         .agg(sum(col("z")).as("graft_kz_s"))

@@ -37,12 +37,15 @@ object Sssp {
     */
   def distances(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "sssp needs at least one round")
+    // loop-invariant edge list joined every round: pin once (Bfs note)
+    val e = edges.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = sources.select(col("id"), lit(0L).as("dist")).localCheckpoint()
     var frontier = dist
     for (_ <- 1 to rounds) {
       val relaxed = frontier
         .select(col("id").as("graft_sp_src"), col("dist").as("graft_sp_d"))
-        .join(edges, col("graft_sp_src") === edges("src"))
+        .join(e, col("graft_sp_src") === e("src"))
         .select(col("dst").as("id"),
           (col("graft_sp_d") + col("w").cast("long")).as("dist"))
       val next = dist.unionAll(relaxed)

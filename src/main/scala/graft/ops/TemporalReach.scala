@@ -36,6 +36,9 @@ object TemporalReach {
   def earliestArrival(edges: DataFrame, sources: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "temporal reach needs at least one round")
+    // loop-invariant edge list joined every round: pin once (Bfs note)
+    val e = edges.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var arr = sources.select(col("seed"), col("id"), lit(0L).as("arr"))
       .localCheckpoint()
     var frontier = arr
@@ -43,8 +46,8 @@ object TemporalReach {
       val relaxed = frontier
         .select(col("seed"), col("id").as("graft_tr_src"),
           col("arr").as("graft_tr_a"))
-        .join(edges, col("graft_tr_src") === edges("src") &&
-          edges("t").cast("long") >= col("graft_tr_a"))
+        .join(e, col("graft_tr_src") === e("src") &&
+          e("t").cast("long") >= col("graft_tr_a"))
         .select(col("seed"), col("dst").as("id"),
           col("t").cast("long").as("arr"))
       val next = arr.unionAll(relaxed)

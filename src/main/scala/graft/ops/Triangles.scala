@@ -311,6 +311,20 @@ object Triangles {
     total
   }
 
+  /** (wedges, edges) of the oriented graph — the exact size of the
+    * enumeration join and the store-form decision input for the
+    * incremental k-truss (one cheap aggregate over the edge list).
+    *
+    * @param edges undirected edge list as (u, v) with u < v, distinct.
+    */
+  def wedgeStats(edges: DataFrame): (Long, Long) = {
+    val deg = orient(edges).groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+        coalesce(sum("d"), lit(0L)).cast("long"))
+      .head()
+    (deg.getLong(0) / 2, deg.getLong(1))
+  }
+
   /** [[creditListBounded]] streamed STRAIGHT into a hash-bucketed
     * parquet store: each slice's credit rows (explode fused, as below)
     * append to `dir` partitioned by bucket = pmod(hash(u,v), B), so the

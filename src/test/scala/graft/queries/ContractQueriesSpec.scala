@@ -10,8 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractQueriesSpec extends AnyFunSuite with SparkFixture {
 
-  // Queries whose result can legitimately be empty at sf0.001.
-  private val mayBeEmpty = Set("q12", "q13c", "q24")
+  // Queries whose result can legitimately be empty at sf0.001. q13d is the
+  // non-vacuity companion for q13c at the GATE SFs (13 rows at sf0.01, 93
+  // at sf0.1 — pinned by its oracle compare); at sf0.001 every BUILDING
+  // customer happens to have an F-status order, so it is empty by data.
+  private val mayBeEmpty = Set("q12", "q13c", "q13d", "q24")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
