@@ -68,7 +68,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // cpus + defaultParallelism prove the $SPARK_GRAFT_CPUS contract in
+    // the emitted record itself (additions-only: the existing fields and
+    // their meaning are unchanged, so cross-round comparisons stay valid)
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"defaultParallelism":${spark.sparkContext.defaultParallelism}}""")
     spark.stop()
     // budgets are calibrated to the sf0.1 protocol; at other scale
     // factors only outright query failures are fatal

@@ -451,15 +451,23 @@ object Dedup {
       .groupBy(idCol, "t")
       .agg(count(lit(1)).as("tf"))
       .withColumn("th", tokenHash)
-    tf.select(col(idCol), explode(sequence(lit(0), lit(nBits - 1))).as("k"),
-        col("tf"), col("th"))
-      .withColumn("vote",
-        col("tf") * (call_function("shiftright", col("th"), col("k").cast("int")).bitwiseAND(lit(1L)) * 2 - 1))
-      .groupBy(idCol, "k")
-      .agg(sum("vote").as("v"))
-      .groupBy(idCol)
-      .agg(sum(when(col("v") > 0, call_function("shiftleft", lit(1L), col("k").cast("int"))).otherwise(0L))
-        .as("simhash"))
+    // the nBits per-bit votes ride ONE grouped pass as nBits scalar sums
+    // (map-side combinable), replacing the explode×nBits + two doc-keyed
+    // shuffles of the first formulation: the shuffle now carries one
+    // partial row of nBits longs per (doc, map partition) instead of
+    // docs×tokens×nBits vote rows. Votes are the same exact integer
+    // sums (order-independent), so fingerprints are bit-identical.
+    val votes = (0 until nBits).map { k =>
+      sum(col("tf") *
+        (call_function("shiftright", col("th"), lit(k)).bitwiseAND(lit(1L))
+          * 2 - 1)).as(s"graft_sh_v$k")
+    }
+    tf.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until nBits).map(k =>
+          when(col(s"graft_sh_v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Production SimHash: same fingerprints as [[simhash]] (bit-equality

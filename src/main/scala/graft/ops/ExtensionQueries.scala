@@ -735,14 +735,16 @@ object ExtensionQueries {
   // the same 3 power iterations as chained CTEs; both sides order by the
   // ROUNDED score so rank ignores sub-1e-4 summation noise.
   def extPagerank(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds): the per-iteration contribution join
+    // + sum shuffle key on longs; decode at the output boundary only
     val pairs = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"))
+      .select(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"))
       .distinct()
     val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
       .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
     PageRank.run(edges, iterations = 3)
-      .select(col("id"), round(col("pr"), 4).as("pr"))
+      .select(SpIds.decode(col("id")).as("id"), round(col("pr"), 4).as("pr"))
       .orderBy(desc("pr"), asc("id"))
       .limit(20)
   }

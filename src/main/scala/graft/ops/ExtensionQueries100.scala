@@ -35,16 +35,21 @@ object ExtensionQueries100 {
   // a 4-edge path can undercut a 2-edge one on price). Distances stay
   // long cents end-to-end — no float in the min-plus fold.
   def extSssp(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds): the min-cost edge groupBy and every
+    // Bellman-Ford round shuffle key on longs; decode at the output
+    // boundary only (before the dist/id-tiebreak order, so string
+    // ordering is preserved)
     val pe = t(s, dir, "lineitem")
-      .groupBy(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"))
+      .groupBy(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"))
       .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
     val edges = pe.select(col("sn").as("src"), col("pn").as("dst"), col("w"))
       .unionAll(pe.select(col("pn").as("src"), col("sn").as("dst"), col("w")))
     val spark = s
     import spark.implicits._
-    val sources = Seq("S1").toDF("id")
+    val sources = Seq(2L).toDF("id") // S1
     Sssp.distances(edges, sources, rounds = 4)
+      .select(SpIds.decode(col("id")).as("id"), col("dist"))
       .orderBy(asc("dist"), asc("id"))
       .limit(20)
   }

@@ -75,20 +75,24 @@ object ExtensionQueries101 {
   // labeled multi-seed BFS sweep (Bfs.labeledHops: 10 probes share
   // each round's frontier join).
   def extCloseness(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds): every labeled-BFS round shuffles
+    // (seed LONG, id LONG) instead of strings; seeds decode at the
+    // output boundary only
     val pairs = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"))
+      .select(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"))
       .distinct()
     val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
       .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
     val spark = s
     import spark.implicits._
-    val sources = (1 to 10).map(i => (s"S$i", s"S$i")).toDF("seed", "id")
+    val sources = (1 to 10).map(i => (2L * i, 2L * i)).toDF("seed", "id")
     Bfs.labeledHops(edges, sources, maxHops = 4)
       .filter(col("hops") > 0)
       .groupBy(col("seed"))
       .agg(count(lit(1)).as("reached"),
         sum(expr("CAST(12 AS BIGINT) DIV CAST(hops AS BIGINT)")).as("h12"))
+      .select(SpIds.decode(col("seed")).as("seed"), col("reached"), col("h12"))
       .orderBy("seed")
   }
 

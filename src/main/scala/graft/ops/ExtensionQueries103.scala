@@ -24,9 +24,12 @@ object ExtensionQueries103 {
   // days since 1992-01-01. Output per seed: reach count + the arrival
   // mass (sum/max of arrival days) — the propagation-speed profile.
   def extTempreach(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds): the temporal-edge distinct and
+    // every relaxation round shuffle key on longs; seeds decode at the
+    // output boundary only
     val pe = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"),
+      .select(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"),
         datediff(col("l_shipdate").cast("date"), lit("1992-01-01"))
           .cast("long").as("d"))
       .distinct()
@@ -36,12 +39,14 @@ object ExtensionQueries103 {
         col("d").as("t")))
     val spark = s
     import spark.implicits._
-    val sources = (1 to 3).map(i => (s"S$i", s"S$i")).toDF("seed", "id")
+    val sources = (1 to 3).map(i => (2L * i, 2L * i)).toDF("seed", "id")
     TemporalReach.earliestArrival(edges, sources, rounds = 3)
       .filter(col("id") =!= col("seed"))
       .groupBy("seed")
       .agg(count(lit(1)).as("reached"), sum("arr").as("sum_arr"),
         max("arr").as("max_arr"))
+      .select(SpIds.decode(col("seed")).as("seed"), col("reached"),
+        col("sum_arr"), col("max_arr"))
       .orderBy("seed")
   }
 

@@ -26,17 +26,21 @@ object ExtensionQueries116 {
   // 15 strongest brokers (btw desc, id asc), seeds excluded, with
   // their per-node dependency settled to 4 dp.
   def extBetweenness(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds): every forward-σ/backward-δ shuffle
+    // of the ~2·maxHops Brandes rounds keys on (seed LONG, id LONG)
+    // instead of strings; decode at the output boundary only
     val pairs = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"))
+      .select(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"))
       .distinct()
     val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
       .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
     val spark = s
     import spark.implicits._
-    val sources = (1 to 10).map(i => (s"S$i", s"S$i")).toDF("seed", "id")
+    val sources = (1 to 10).map(i => (2L * i, 2L * i)).toDF("seed", "id")
     Betweenness.truncated(edges, sources, maxHops = 4)
-      .select(col("id"), round(col("btw").cast("double"), 4).as("btw4"))
+      .select(SpIds.decode(col("id")).as("id"),
+        round(col("btw").cast("double"), 4).as("btw4"))
       .orderBy(col("btw4").desc, col("id").asc)
       .limit(15)
   }

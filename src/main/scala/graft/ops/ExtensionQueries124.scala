@@ -100,7 +100,7 @@ object ExtensionQueries124 {
     // pinned frame needs no pruning at all; the parquet round-trip there
     // was pure overhead (measured sf0.1: credits 33.5 s via the store vs
     // 9.5 s pinned, query 70 s → 26 s, trace bit-identical).
-    val (wedges, _) = Triangles.wedgeStats(edges0)
+    val (wedges, mEdges) = Triangles.wedgeStats(edges0)
     val useBucketStore = wedges > 256000000L
     val creditsRoot = if (!useBucketStore) null
       else java.nio.file.Files.createTempDirectory("graft_ktruss_credits_")
@@ -112,14 +112,16 @@ object ExtensionQueries124 {
         // write target is a CHILD of the temp dir: Spark's parquet
         // writer refuses a pre-existing path in default mode
         val creditsDir = creditsRoot.resolve("credits").toString
-        val b = Triangles.creditListBucketed(edges0, creditsDir)
+        val b = Triangles.creditListBucketed(edges0, creditsDir,
+          stats = Some((wedges, mEdges)))
         lap(s"credits bucketed stream B=$b")
         (spark.read.parquet(creditsDir)
           .select(col("a"), col("b"), col("c"), col("u"), col("v"),
             col("bucket")), b)
       } else {
         // creditListBounded already localCheckpoints its (single) slice
-        val c = Triangles.creditListBounded(edges0)
+        val c = Triangles.creditListBounded(edges0,
+          stats = Some((wedges, mEdges)))
         lap("credits pinned in-memory")
         (c, 0)
       }
@@ -144,10 +146,16 @@ object ExtensionQueries124 {
     val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .fold(32)(_.toInt)
     val creditRows = credits0.count()
-    def bucketsOf(edgesDf: DataFrame): Array[Int] = edgesDf
-      .select(pmod(hash(col("u"), col("v")), lit(numBuckets))
-        .cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0))
+    def bucketsOf(edgesDf: DataFrame): Array[Int] = {
+      // only meaningful on the bucket-store path: pmod by the in-memory
+      // path's numBuckets = 0 would yield null → NPE at getInt
+      require(numBuckets > 0,
+        "bucketsOf called without a bucketed credit store")
+      edgesDf
+        .select(pmod(hash(col("u"), col("v")), lit(numBuckets))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0))
+    }
     val scaleConfs: Seq[(String, String)] =
       if (creditRows <= 512000L * minParts) Seq.empty
       else Seq(

@@ -76,18 +76,22 @@ object ExtensionQueries2 {
   // The oracle is a recursive CTE with UNION-distinct level expansion +
   // a min() fold. Hop parity alternates S/P sides (bipartite).
   def extBfs(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds): every BFS round shuffles longs; the
+    // output aggregates read side/suffix off the encoding (parity ≡
+    // startsWith("S"), shiftright ≡ substring(id, 2)) so no string is
+    // ever built — values identical by construction
     val pairs = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"))
+      .select(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"))
       .distinct()
     val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
       .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
-    val sources = t(s, dir, "lineitem").select(lit("S1").as("id")).limit(1)
+    val sources = t(s, dir, "lineitem").select(lit(2L).as("id")).limit(1) // S1
     Bfs.hops(edges, sources, maxHops = 3)
       .groupBy(col("hops").cast("long").as("hops"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("id").startsWith("S"), 1L).otherwise(0L)).as("n_s"),
-        sum(expr("substring(id, 2)").cast("long")).as("sum_sfx"))
+        sum(when(pmod(col("id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_s"),
+        sum(shiftright(col("id"), 1)).as("sum_sfx"))
       .orderBy("hops")
   }
 
@@ -120,9 +124,12 @@ object ExtensionQueries2 {
   // IS the true 24-core there. Oracle = the same rounds unrolled as
   // CTEs.
   def extKcore(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds) — the extBfs treatment: peel rounds
+    // shuffle longs, the trajectory aggregates read side/suffix off the
+    // encoding, no string is ever built
     val pairs = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"))
+      .select(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"))
       .distinct()
     val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
       .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
@@ -130,8 +137,8 @@ object ExtensionQueries2 {
       .map { case (nodes, r) =>
         nodes.agg(
           count(lit(1)).as("n"),
-          sum(when(col("id").startsWith("S"), 1L).otherwise(0L)).as("n_s"),
-          sum(expr("substring(id, 2)").cast("long")).as("sum_sfx"))
+          sum(when(pmod(col("id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_s"),
+          sum(shiftright(col("id"), 1)).as("sum_sfx"))
           .select(lit(r.toLong).as("round"), col("n"), col("n_s"),
             col("sum_sfx"))
       }

@@ -57,21 +57,25 @@ object ExtensionQueries45 {
   // lower bound from a handful of seeds — exact integer distances
   // from the iterative frontier expansion, recursive-CTE oracle.
   def extEccentricity(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds): the 6 labeled-BFS rounds shuffle
+    // (seed LONG, id LONG); seeds decode at the output boundary only
     val pairs = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"))
+      .select(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"))
       .distinct()
     val edges = pairs.select(col("sn").as("src"), col("pn").as("dst"))
       .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
     // one labeled sweep for all three probes: 6 frontier joins, not 18
     val sources = pairs.sparkSession.range(3)
-      .select(element_at(array(lit("S1"), lit("S5"), lit("S9")),
+      .select(element_at(array(lit(2L), lit(10L), lit(18L)), // S1, S5, S9
         (col("id") + 1).cast("int")).as("seed"))
       .withColumn("id", col("seed"))
     Bfs.labeledHops(edges, sources, maxHops = 6)
       .groupBy("seed")
       .agg(max(col("hops")).cast("long").as("eccentricity"),
         count(lit(1)).as("n_reached"))
+      .select(SpIds.decode(col("seed")).as("seed"), col("eccentricity"),
+        col("n_reached"))
       .orderBy("seed")
   }
 

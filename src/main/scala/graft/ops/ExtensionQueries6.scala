@@ -25,12 +25,14 @@ object ExtensionQueries6 {
   // counts), so every score is exactly representable and the ranking
   // pins across engines.
   def extHits(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded node ids (SpIds): both per-iteration HITS shuffles
+    // key on longs; decode at the output boundary only
     val edges = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("P"), col("l_partkey")).as("dst"))
+      .select(SpIds.s(col("l_suppkey")).as("src"),
+        SpIds.p(col("l_partkey")).as("dst"))
       .distinct()
     Hits.run(edges, iterations = 2)
-      .select(col("id"), round(col("hub"), 4).as("hub"),
+      .select(SpIds.decode(col("id")).as("id"), round(col("hub"), 4).as("hub"),
         round(col("auth"), 4).as("auth"))
       .orderBy(desc("hub"), desc("auth"), asc("id"))
       .limit(20)

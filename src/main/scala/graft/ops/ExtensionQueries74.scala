@@ -42,11 +42,18 @@ object ExtensionQueries74 {
       .groupBy(col("prev").as("f"), col("event_type").as("tt"))
       .agg(count(lit(1)).as("c"))
     val tot = counts.groupBy("f").agg(sum("c").as("ct"))
+    // pin the ≤42-row transition table: it is the only frame derived
+    // from the EVENTS scan (window + two aggregates), and without the
+    // pin every downstream reference (strans appears 6× in the unrolled
+    // chain, states twice, plus the conv/eff tail) re-embeds — and at
+    // action time re-EXECUTES — that whole events pipeline; the measured
+    // plan was 784k chars of explain text for a 5-row result
     val probs = counts.join(tot, Seq("f"))
       .select(col("f"), col("tt"),
         round(col("c").cast("double") * 1e9 / col("ct")).cast("long")
           .as("p"))
       .limit(42) // ≤ (5 types + START) × 6 states: structurally bounded
+      .localCheckpoint()
     val scen = probs.sparkSession
       .createDataFrame(Seq(Tuple1("none"), Tuple1("click"), Tuple1("error"),
         Tuple1("signup"), Tuple1("view")))
@@ -74,8 +81,12 @@ object ExtensionQueries74 {
         scen.select(col("scenario"), lit("purchase").as("state"),
           lit(1000000000L).as("a")))
     }
+    // pin the 6-step chain's tail (≤6 rows): base/eff/sums each re-embed
+    // conv, so without the pin the whole 6-step aggregate chain executes
+    // ~7 times inside the one final action
     val conv = ak.filter(col("state") === "_start")
       .select(col("scenario"), col("a"))
+      .localCheckpoint()
     val base = conv.filter(col("scenario") === "none")
       .select(col("a").as("ab")).limit(1)
     val eff = conv.filter(col("scenario") =!= "none")

@@ -15,10 +15,15 @@ object ExtensionQueries99 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  // long-encoded node ids (SpIds): every per-iteration shuffle/hash in
+  // PageRank.personalized/katz keys on an 8-byte long instead of a
+  // "S123"/"P456" string; ids decode to the contract strings only at
+  // the output boundary, so results (incl. string tiebreaks) are
+  // identical
   private def supplierPartEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "lineitem")
-      .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-        concat(lit("P"), col("l_partkey")).as("pn"))
+      .select(SpIds.s(col("l_suppkey")).as("sn"),
+        SpIds.p(col("l_partkey")).as("pn"))
       .distinct()
     pairs.select(col("sn").as("src"), col("pn").as("dst"))
       .unionAll(pairs.select(col("pn").as("src"), col("sn").as("dst")))
@@ -35,9 +40,9 @@ object ExtensionQueries99 {
   def extPpr(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val seeds = Seq("S1", "S2", "S3", "S4", "S5").toDF("id")
+    val seeds = Seq(2L, 4L, 6L, 8L, 10L).toDF("id") // S1..S5 encoded
     PageRank.personalized(supplierPartEdges(s, dir), seeds, iterations = 3)
-      .select(col("id"), round(col("pr"), 6).as("pr"))
+      .select(SpIds.decode(col("id")).as("id"), round(col("pr"), 6).as("pr"))
       .orderBy(desc("pr"), asc("id"))
       .limit(20)
   }
@@ -53,7 +58,7 @@ object ExtensionQueries99 {
   // 6-decimal score z/8000.
   def extKatz(s: SparkSession, dir: String): DataFrame =
     PageRank.katz(supplierPartEdges(s, dir), iterations = 3)
-      .select(col("id"), col("katz_z"),
+      .select(SpIds.decode(col("id")).as("id"), col("katz_z"),
         round(col("katz"), 6).as("katz"))
       .orderBy(desc("katz_z"), asc("id"))
       .limit(20)

@@ -32,10 +32,19 @@ object Ivf {
   /** Deterministic k-means over `embedding`: init = the k vectors with
     * smallest xxhash64(vec_id) (a seeded pseudo-random sample), then
     * `iters` Lloyd steps. Returns (cid INT, centroid ARRAY<DOUBLE>).
+    *
+    * Every step localCheckpoints (NOT cache): a cached frame keeps its
+    * full LOGICAL plan, so the returned centroids would carry `iters`
+    * nested Lloyd steps that every consuming action re-analyzes and
+    * re-optimizes — measured as ~30-50 s of pure DRIVER time per
+    * IVF×PQ search on a 2000-vector corpus (task time: ~1 s). The
+    * checkpoint truncates the plan to a k-row leaf; the trailing
+    * `limit(k)` re-exposes the structural row bound the checkpoint
+    * hides, so the broadcast side of assign()'s cross join stays
+    * provably O(k) rows to the plan gate at any corpus size.
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int,
       seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
     var centroids = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
@@ -44,11 +53,11 @@ object Ivf {
           org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1).as("cid"),
         org.apache.spark.sql.functions.transform(col("embedding"),
           v => v.cast("double")).as("centroid"))
-      .cache()
+      .localCheckpoint()
     var it = 0
     while (it < iters) {
       val assigned = assign(corpus, centroids)
-      val next = assigned
+      centroids = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(avg("v").as("m"))
@@ -56,18 +65,10 @@ object Ivf {
         .agg(org.apache.spark.sql.functions.transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("centroid"))
-        // structural cap: cid ∈ [0,k) so ≤k groups exist — the limit
-        // changes nothing but makes the bound visible to the plan
-        // (PlanQualitySpec's bounded-side gate), so the broadcast in
-        // assign() is provably O(k) rows at any corpus size
-        .limit(k)
-        .cache()
-      next.count()
-      centroids.unpersist()
-      centroids = next
+        .localCheckpoint()
       it += 1
     }
-    centroids
+    centroids.limit(k)
   }
 
   /** Nearest-centroid assignment: broadcast centroids, `min_by` over

@@ -82,14 +82,18 @@ object IvfPq {
     // and a shared book keeps the broadcast side at m·k rows
     val codebooks = Pq.trainCodebooks(res.select("vec_id", "embedding"),
       m, kCodes, subDim, iters, seed)
+    // localCheckpoint, not persist: the index frames outlive this call
+    // and every search action would otherwise re-analyze the full
+    // training lineage kept alive by a cached frame's logical plan
+    // (the Ivf.trainCentroids discipline — measured 30-50 s of driver
+    // time PER SEARCH at 2000 vectors before the truncation)
     val codes = Pq.encode(res.select("vec_id", "embedding"), codebooks,
       m, subDim)
       .withColumnRenamed("cid", "code")
       .join(assigned.select("vec_id", "cid"), "vec_id")
       .select("cid", "vec_id", "sub", "code")
-    val out = IvfPqIndex(centroids, codebooks,
-      codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    out.codes.count()
+      .localCheckpoint()
+    val out = IvfPqIndex(centroids, codebooks, codes)
     res.unpersist(blocking = false)
     assigned.unpersist(blocking = false)
     out

@@ -50,7 +50,13 @@ object Pq {
     val subs = subvectors(corpus, m, subDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     subs.count()
-    // init: per subspace, the k subvectors with smallest seeded hash
+    // init: per subspace, the k subvectors with smallest seeded hash.
+    // Every step localCheckpoints (NOT cache) — the Ivf.trainCentroids
+    // plan-truncation discipline: a cached codebook keeps `iters` nested
+    // Lloyd steps in its logical plan and every consuming action pays
+    // their re-analysis in driver time; the checkpoint makes it an
+    // m·k-row leaf, and the trailing limit(m·k) re-exposes the
+    // structural bound to the plan gate.
     val wInit = Window.partitionBy("sub")
       .orderBy(xxhash64(lit(seed), col("vec_id")), col("vec_id"))
     var codebooks = subs
@@ -58,7 +64,7 @@ object Pq {
       .filter(col("rn") <= k)
       .select(col("sub"), (col("rn") - 1).as("cid"),
         col("subvec").as("centroid"))
-      .cache()
+      .localCheckpoint()
     var it = 0
     while (it < iters) {
       // scalar-only argmin (the Ivf.assign round-12 lesson): carrying
@@ -73,7 +79,7 @@ object Pq {
         .groupBy("vec_id", "sub")
         .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
       val assigned = subs.join(cids, Seq("vec_id", "sub"))
-      val next = assigned
+      codebooks = assigned
         .select(col("sub"), col("cid"),
           posexplode(col("subvec")).as(Seq("pos", "v")))
         .groupBy("sub", "cid", "pos")
@@ -82,16 +88,12 @@ object Pq {
         .agg(org.apache.spark.sql.functions.transform(
           array_sort(collect_list(struct(col("pos"), col("mu")))),
           e => e.getField("mu")).as("centroid"))
-        // structural bound for the broadcast side: ≤ m·k rows exist
-        .limit(m * k)
-        .cache()
-      next.count()
-      codebooks.unpersist()
-      codebooks = next
+        .localCheckpoint()
       it += 1
     }
     subs.unpersist(blocking = false)
-    codebooks
+    // structural bound for the broadcast side: ≤ m·k rows exist
+    codebooks.limit(m * k)
   }
 
   /** Encode the corpus: (vec_id, sub, cid) — m rows per vector. */

@@ -347,16 +347,21 @@ object Triangles {
     * @param edges undirected edge list as (u, v) with u < v, distinct.
     */
   def creditListBucketed(edges: DataFrame, dir: String,
-      targetWedges: Long = 256000000L): Int = {
+      targetWedges: Long = 256000000L,
+      stats: Option[(Long, Long)] = None): Int = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
     val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
-        coalesce(sum("d"), lit(0L)).cast("long"))
-      .head()
-    val w = deg.getLong(0) / 2
-    val m = deg.getLong(1)
+    // (wedges, m) threaded in when the caller already ran wedgeStats —
+    // otherwise the O(m) degree pass here would run twice per k-truss
+    // call (once in wedgeStats for the store-form choice, once here)
+    val (w, m) = stats.getOrElse {
+      val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+          coalesce(sum("d"), lit(0L)).cast("long"))
+        .head()
+      (deg.getLong(0) / 2, deg.getLong(1))
+    }
     val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
     val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .fold(32)(_.toInt)
@@ -402,16 +407,20 @@ object Triangles {
     * @param edges undirected edge list as (u, v) with u < v, distinct.
     */
   def creditListBounded(edges: DataFrame,
-      targetWedges: Long = 256000000L): DataFrame = {
+      targetWedges: Long = 256000000L,
+      stats: Option[(Long, Long)] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
     val oriented = orient(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
-        coalesce(sum("d"), lit(0L)).cast("long"))
-      .head()
-    val w = deg.getLong(0) / 2
-    val m = deg.getLong(1)
+    // (wedges, m) threaded in when the caller already ran wedgeStats
+    // (see creditListBucketed)
+    val (w, m) = stats.getOrElse {
+      val deg = oriented.groupBy("s").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).cast("long"),
+          coalesce(sum("d"), lit(0L)).cast("long"))
+        .head()
+      (deg.getLong(0) / 2, deg.getLong(1))
+    }
     val slices = math.max(1L, (w + targetWedges - 1) / targetWedges).toInt
     val minParts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .fold(32)(_.toInt)
